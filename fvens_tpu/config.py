@@ -1,0 +1,134 @@
+"""Typed configuration for fvens_tpu.
+
+Collapses the reference's three config layers (INFO control file, program
+options, PETSc options DB — FVENS src/utilities/controlparser.cpp:60-216,
+doc/example-control-file.ctrl) into plain dataclasses. The .ctrl surface is
+kept as an optional reader in fvens_tpu.io_config.ctrl.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+# Boundary-condition codes (reference enum: src/spatial/abctypes.hpp:12-21,
+# string map abctypemap.cpp:58-73)
+BC_SLIPWALL = 0
+BC_FARFIELD = 1
+BC_INFLOWOUTFLOW = 2
+BC_EXTRAPOLATION = 3
+BC_ADIABATIC_WALL = 4
+BC_ISOTHERMAL_WALL = 5
+BC_SUBSONIC_INFLOW = 6
+BC_PERIODIC = 7
+BC_DIRICHLET = 8          # scalar problems (diffusion)
+
+BC_NAMES = {
+    "slipwall": BC_SLIPWALL,
+    "farfield": BC_FARFIELD,
+    "inflowoutflow": BC_INFLOWOUTFLOW,
+    "extrapolation": BC_EXTRAPOLATION,
+    "adiabaticwall": BC_ADIABATIC_WALL,
+    "isothermalwall": BC_ISOTHERMAL_WALL,
+    "subsonic_inflow": BC_SUBSONIC_INFLOW,
+    "periodic": BC_PERIODIC,
+    "dirichlet": BC_DIRICHLET,
+}
+
+# Inviscid numerical fluxes (factory keys, afactory.cpp:31-98)
+FLUXES = ("LLF", "VANLEER", "AUSM", "AUSMPLUS", "ROE", "HLL", "HLLC")
+GRADIENT_SCHEMES = ("NONE", "GREENGAUSS", "LEASTSQUARES")
+RECONSTRUCTIONS = ("NONE", "LINEAR", "WENO", "VANALBADA", "BARTHJESPERSEN",
+                   "VENKATAKRISHNAN")
+
+
+@dataclasses.dataclass(frozen=True)
+class BCSpec:
+    """One boundary condition: mesh marker + type + optional values.
+
+    values meaning by type (ref abc.cpp / example-control-file.ctrl):
+      adiabaticwall:   (wall tangential velocity,)
+      isothermalwall:  (wall tangential velocity, wall temperature [K])
+      subsonic_inflow: (total pressure [nondim], total temperature [K])
+      periodic:        axis handled via `periodic_axis`
+      dirichlet:       (boundary value,)
+    """
+    marker: int
+    type: str
+    values: tuple = ()
+    periodic_axis: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    """Free-stream/thermodynamic setup (ref FlowParserOptions + IdealGasPhysics)."""
+    gamma: float = 1.4
+    Minf: float = 0.5
+    Tinf: float = 288.15
+    Reinf: float = 5000.0
+    Pr: float = 0.72
+    aoa_deg: float = 0.0          # angle of attack in degrees
+    viscous: bool = False         # navierstokes vs euler
+    const_visc: bool = False      # constant mu instead of Sutherland
+
+    @property
+    def aoa(self) -> float:
+        import math
+        return math.radians(self.aoa_deg)
+
+
+@dataclasses.dataclass(frozen=True)
+class NumericsConfig:
+    """Spatial discretization selection (ref FlowNumericsConfig)."""
+    flux: str = "HLLC"                 # inviscid numerical flux
+    flux_jacobian: str = "CONSISTENT"  # flux used for the implicit Jacobian
+    gradient: str = "LEASTSQUARES"     # NONE / GREENGAUSS / LEASTSQUARES
+    reconstruction: str = "LINEAR"     # see RECONSTRUCTIONS
+    limiter_param: float = 20.0        # WENO lambda / Venkatakrishnan K
+    order2: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PseudoTimeConfig:
+    """One pseudo-time continuation solve (ref SteadySolverConfig,
+    aodesolver.hpp:18-30)."""
+    cfl_init: float = 500.0
+    cfl_fin: float = 5000.0
+    tol: float = 1e-6
+    maxiter: int = 500
+    stepping: str = "implicit"         # implicit | explicit
+    use_local_dt: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearSolverConfig:
+    """Krylov settings (ref testcases/defaults.solverc: FGMRES(30) rtol 1e-1,
+    bjacobi+ILU0)."""
+    restart: int = 30
+    maxiter: int = 30
+    rtol: float = 1e-1
+    pc: str = "bjacobi"                # none | bjacobi | bsgs
+    pc_sweeps: int = 4                 # sweeps for iterative PCs
+    matrix_free: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class NonlinearUpdateConfig:
+    scheme: str = "full"               # full | robust_flow
+    min_factor: float = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowCaseConfig:
+    """Everything needed to run a steady flow case end to end."""
+    physics: PhysicsConfig = PhysicsConfig()
+    numerics: NumericsConfig = NumericsConfig()
+    bcs: Sequence[BCSpec] = ()
+    main: PseudoTimeConfig = PseudoTimeConfig()
+    init: PseudoTimeConfig = PseudoTimeConfig(
+        cfl_init=200.0, cfl_fin=1000.0, tol=1e-1, maxiter=50)
+    use_starter: bool = True
+    linear: LinearSolverConfig = LinearSolverConfig()
+    nl_update: NonlinearUpdateConfig = NonlinearUpdateConfig()
+    wall_markers: tuple = ()           # markers to integrate CL/CD over
+    mesh_file: str = ""

@@ -1,0 +1,179 @@
+"""Programmatic mesh generation for tests and benchmarks.
+
+The reference builds its test grids by running Gmsh on .geo files at build
+time (e.g. tests/visc-flatplate/CMakeLists.txt:71-98,
+testcases/2dcylinder/grids/CMakeLists.txt). Gmsh is not available here, so
+equivalent structured families are generated algebraically: unit squares
+(heat-equation convergence), cylinder O-meshes (inviscid entropy convergence),
+and stretched flat-plate grids (viscous CL/CD convergence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .reader import MeshData, _assemble
+
+
+def _grid_mesh(X: np.ndarray, Y: np.ndarray, markers: dict,
+               tri: bool = False, wrap_i: bool = False) -> MeshData:
+    """Build a quad (or split-tri) mesh from structured node arrays X,Y of
+    shape (ni+1, nj+1) [i = first index]. markers maps side name
+    ('imin','imax','jmin','jmax') -> marker id. If wrap_i, i wraps around
+    (O-mesh) and imin/imax sides don't exist."""
+    ni = X.shape[0] - 1 if not wrap_i else X.shape[0]
+    nj = X.shape[1] - 1
+    npi = X.shape[0]
+
+    def nid(i, j):
+        return (i % npi if wrap_i else i) * (nj + 1) + j
+
+    coords = np.stack([X.ravel(), Y.ravel()], axis=1)
+    cells = []
+    for i in range(ni):
+        for j in range(nj):
+            quad = [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)]
+            if tri:
+                if (i + j) % 2 == 0:
+                    cells.append(([quad[0], quad[1], quad[2]], []))
+                    cells.append(([quad[0], quad[2], quad[3]], []))
+                else:
+                    cells.append(([quad[0], quad[1], quad[3]], []))
+                    cells.append(([quad[1], quad[2], quad[3]], []))
+            else:
+                cells.append((quad, []))
+
+    bfaces = []
+    for j in range(nj):
+        if not wrap_i:
+            bfaces.append(([nid(0, j + 1), nid(0, j)], [markers["imin"]]))
+            bfaces.append(([nid(ni, j), nid(ni, j + 1)], [markers["imax"]]))
+    for i in range(ni):
+        bfaces.append(([nid(i, 0), nid(i + 1, 0)], [markers["jmin"]]))
+        bfaces.append(([nid(i + 1, nj), nid(i, nj)], [markers["jmax"]]))
+
+    return _assemble(coords, cells, bfaces, nbtag=1, ndtag=0)
+
+
+def unit_square(n: int, tri: bool = False, marker: int = 1,
+                perturb: float = 0.0, seed: int = 7) -> MeshData:
+    """n x n unit-square mesh. `perturb` jiggles interior nodes to break
+    structure (for gradient-exactness tests on irregular meshes)."""
+    xs = np.linspace(0.0, 1.0, n + 1)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    if perturb > 0:
+        rng = np.random.default_rng(seed)
+        h = 1.0 / n
+        dX = rng.uniform(-1, 1, X.shape) * perturb * h
+        dY = rng.uniform(-1, 1, Y.shape) * perturb * h
+        dX[0, :] = dX[-1, :] = dX[:, 0] = dX[:, -1] = 0
+        dY[0, :] = dY[-1, :] = dY[:, 0] = dY[:, -1] = 0
+        X, Y = X + dX, Y + dY
+    m = {"imin": marker, "imax": marker, "jmin": marker, "jmax": marker}
+    return _grid_mesh(X, Y, m, tri=tri)
+
+
+def cylinder_omesh(nt: int, nr: int, r_in: float = 1.0, r_out: float = 20.0,
+                   stretch: float = 1.15, tri: bool = False,
+                   wall_marker: int = 2, far_marker: int = 4) -> MeshData:
+    """O-mesh around a cylinder: nt cells around, nr cells radially with
+    geometric stretching (the inviscid 2dcylinder testcase family)."""
+    theta = np.linspace(0.0, 2.0 * np.pi, nt + 1)[:-1]
+    # geometric radial distribution
+    if abs(stretch - 1.0) < 1e-12:
+        t = np.linspace(0, 1, nr + 1)
+    else:
+        w = stretch ** np.arange(nr)
+        t = np.concatenate([[0.0], np.cumsum(w)])
+        t /= t[-1]
+    r = r_in + (r_out - r_in) * t
+    R, TH = np.meshgrid(r, theta, indexing="ij")    # (nr+1, nt)
+    X = R * np.cos(TH)
+    Y = R * np.sin(TH)
+    # grid indexed (i=theta wraps, j=radial): transpose
+    Xg = X.T  # (nt, nr+1)
+    Yg = Y.T
+    m = {"jmin": wall_marker, "jmax": far_marker}
+    return _grid_mesh(Xg, Yg, m, tri=tri, wrap_i=True)
+
+
+def cylinder_family(nmesh: int, n0t: int = 40, n0r: int = 20, tri: bool = False,
+                    r_out: float = 20.0):
+    """Nested refinement family for grid-convergence studies."""
+    out = []
+    for i in range(nmesh):
+        out.append(cylinder_omesh(n0t * 2 ** i, n0r * 2 ** i, r_out=r_out,
+                                  stretch=1.15 ** (1.0 / 2 ** i), tri=tri))
+    return out
+
+
+def flatplate(nx: int, ny: int, plate_len: float = 1.0, lead: float = 0.25,
+              height: float = 0.5, ywall: float = 2e-3,
+              inflow_marker: int = 1, farfield_marker: int = 4,
+              wall_marker: int = 2, sym_marker: int = 3,
+              outflow_marker: int = 5, tri: bool = False) -> MeshData:
+    """Stretched structured grid for the laminar flat-plate case
+    (mirrors tests/visc-flatplate geometry: symmetry run-up ahead of the
+    plate, adiabatic wall on the plate, farfield above).
+
+    Markers: inflow (left), outflow (right), wall (plate bottom),
+    symmetry (bottom ahead of plate), farfield (top).
+    """
+    # x-distribution: uniform run-up, mild clustering at the leading edge
+    nlead = max(2, int(round(nx * lead / (lead + plate_len))))
+    nplate = nx - nlead
+    xl = -lead + lead * np.linspace(0, 1, nlead + 1)
+    s = np.linspace(0, 1, nplate + 1)
+    xp = plate_len * s ** 1.2
+    x = np.concatenate([xl[:-1], xp])
+    # y-distribution: geometric from ywall
+    ratio = (height / ywall) ** (1.0 / (ny - 1))
+    y = np.concatenate([[0.0], ywall * np.cumprod(np.full(ny, ratio)) / ratio])
+    y *= height / y[-1]
+    X, Y = np.meshgrid(x, y, indexing="ij")
+
+    md = _grid_mesh(X, Y, {"imin": inflow_marker, "imax": outflow_marker,
+                           "jmin": wall_marker, "jmax": farfield_marker},
+                    tri=tri)
+    # split bottom boundary: faces with midpoint x < 0 are symmetry
+    nb = md.bface.shape[0]
+    for ib in range(nb):
+        if md.bface[ib, 2] == wall_marker:
+            xm = 0.5 * (md.coords[md.bface[ib, 0], 0] + md.coords[md.bface[ib, 1], 0])
+            if xm < 0.0:
+                md.bface[ib, 2] = sym_marker
+    return md
+
+
+def naca0012_omesh(nt: int = 160, nr: int = 48, r_out: float = 20.0,
+                   stretch: float = 1.2, wall_marker: int = 2,
+                   far_marker: int = 4, blunt_te: bool = False) -> MeshData:
+    """Algebraic O-mesh around a NACA0012 airfoil (sharp trailing edge,
+    cosine clustering at LE/TE). For self-contained transonic/laminar cases."""
+    # airfoil surface: cosine spacing, from TE over the top to LE and back
+    beta = np.linspace(0.0, 2.0 * np.pi, nt + 1)[:-1]
+    xc = 0.5 * (1.0 + np.cos(beta))          # 1 -> 0 -> 1
+    t = 0.12
+    yt = 5 * t * (0.2969 * np.sqrt(xc) - 0.1260 * xc - 0.3516 * xc ** 2
+                  + 0.2843 * xc ** 3 - 0.1036 * xc ** 4)  # closed TE coeff
+    ysurf = np.where(beta <= np.pi, yt, -yt)
+    xsurf = xc
+    # outer circle centred at quarter chord
+    xcen, ycen = 0.25, 0.0
+    phi = np.arctan2(ysurf - ycen, xsurf - xcen)
+    Xs = np.empty((nt, nr + 1))
+    Ys = np.empty((nt, nr + 1))
+    if abs(stretch - 1.0) < 1e-12:
+        tt = np.linspace(0, 1, nr + 1)
+    else:
+        w = stretch ** np.arange(nr)
+        tt = np.concatenate([[0.0], np.cumsum(w)])
+        tt /= tt[-1]
+    for i in range(nt):
+        x0, y0 = xsurf[i], ysurf[i]
+        x1 = xcen + r_out * np.cos(phi[i])
+        y1 = ycen + r_out * np.sin(phi[i])
+        Xs[i] = x0 + (x1 - x0) * tt
+        Ys[i] = y0 + (y1 - y0) * tt
+    return _grid_mesh(Xs, Ys, {"jmin": wall_marker, "jmax": far_marker},
+                      tri=False, wrap_i=True)

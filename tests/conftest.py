@@ -1,0 +1,26 @@
+"""Test configuration: run all tests on CPU (native float64, fast jit) with a
+virtual 8-device mesh so multi-chip sharding is exercised without TPUs."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import pytest
+
+REFERENCE = pathlib.Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return REFERENCE.is_dir()
+
+
+@pytest.fixture
+def refdir():
+    if not reference_available():
+        pytest.skip("reference mesh data not available")
+    return REFERENCE
