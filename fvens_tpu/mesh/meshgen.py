@@ -29,10 +29,20 @@ def _grid_mesh(X: np.ndarray, Y: np.ndarray, markers: dict,
         return (i % npi if wrap_i else i) * (nj + 1) + j
 
     coords = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def ccw(nodes):
+        """Reorder a cell counter-clockwise if needed (positive shoelace)."""
+        p = coords[nodes]
+        s = 0.0
+        for k in range(len(nodes)):
+            q = p[(k + 1) % len(nodes)]
+            s += p[k][0] * q[1] - q[0] * p[k][1]
+        return nodes if s > 0 else nodes[::-1]
+
     cells = []
     for i in range(ni):
         for j in range(nj):
-            quad = [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)]
+            quad = ccw([nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)])
             if tri:
                 if (i + j) % 2 == 0:
                     cells.append(([quad[0], quad[1], quad[2]], []))

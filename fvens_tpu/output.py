@@ -1,0 +1,101 @@
+"""Output functionals: entropy-production error, surface data and force
+coefficients (CL, CDp, CDsf).
+
+Reference: FVENS src/spatial/aoutput.cpp:28-62 (entropy) and
+src/spatial/flow_spatial.cpp:130-310 (computeSurfaceData).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from .fv.residual import FlowFV
+from .fv.gradients import get_gradient_scheme
+
+
+@dataclasses.dataclass
+class FlowSolutionFunctionals:
+    """(ref casesolvers.hpp FlowSolutionFunctionals)"""
+    mesh_size: float = 0.0
+    entropy: float = 0.0
+    CL: float = 0.0
+    CDp: float = 0.0
+    CDsf: float = 0.0
+
+
+def entropy_error(space: FlowFV, mesh, u) -> float:
+    """L2 norm of relative entropy production vs free stream
+    (aoutput.cpp:28-62): sqrt( sum ((s-s_inf)/s_inf)^2 * area )."""
+    phy = space.phy
+    uinf = space.uinf
+    sinf = phy.entropy(uinf)
+    s = phy.entropy(u)
+    serr = (s - sinf) / sinf
+    return float(jnp.sqrt((serr * serr * mesh.area * mesh.cell_mask).sum()))
+
+
+def conserved_gradients(space: FlowFV, mesh, u):
+    """Gradients of the CONSERVED variables with BC ghost states, as used for
+    surface post-processing (flow_spatial.cpp:95-111 getGradients)."""
+    ug = space.ghost_states(mesh, u)
+    return get_gradient_scheme(space.ncfg.gradient)(mesh, u, ug)
+
+
+def surface_data(space: FlowFV, mesh, u, wall_markers):
+    """Per-wall-face (x, y, Cp, Cf) plus integrated (CL, CDp, CDsf)
+    (flow_spatial.cpp:130-310).
+
+    Cp = 2 (p - p_inf); Cf = 2 tau_w with tau_w from the cell-centred
+    conserved-variable gradients; coefficients normalized by total wall area.
+    """
+    phy = space.phy
+    grads = conserved_gradients(space, mesh, u)          # (NC,2,4)
+    nb = mesh.n_bfaces
+
+    tags = np.asarray(mesh.bc_tag)
+    wall = np.isin(tags, np.asarray(list(wall_markers)))
+    sel = np.flatnonzero(wall)
+    if sel.size == 0:
+        return None, (0.0, 0.0, 0.0)
+
+    lelem = mesh.f_left[sel]
+    n = mesh.f_normal[sel]                                # (W,2) outward
+    ar = mesh.f_len[sel]
+    urec = u[lelem]                                       # cell-centred state
+    g = grads[lelem]                                      # (W,2,4)
+
+    aoa = space.pcfg.aoa
+    wind = jnp.array([np.cos(aoa), np.sin(aoa)], dtype=u.dtype)
+    flownormal = jnp.array([-np.sin(aoa), np.cos(aoa)], dtype=u.dtype)
+    tangf = jnp.stack([n[:, 1], -n[:, 0]], axis=1)        # n x k
+
+    p = phy.pressure(urec)
+    cp = (p - phy.p_inf) * 2.0
+
+    muhat = phy.viscosity(urec)
+    rho = urec[:, 0]
+    # velocity gradient via quotient rule from conserved gradients:
+    # gradu[i][j] = d v_i / d x_j (flow_spatial.cpp:225-230)
+    gradu = (g[:, :, 1:3] * rho[:, None, None]
+             - urec[:, None, 1:3] * g[:, :, 0:1]) / (rho ** 2)[:, None, None]
+    gradu = jnp.swapaxes(gradu, 1, 2)                     # (W, i=vel, j=dir)
+    force = ((gradu + jnp.swapaxes(gradu, 1, 2)) * n[:, None, :]).sum(axis=2)
+    tauw = muhat * (force * tangf).sum(axis=1)
+    cf = 2.0 * tauw
+
+    ndotw = (n * wind).sum(1)
+    ndotnw = (n * flownormal).sum(1)
+    tdotw = (tangf * wind).sum(1)
+
+    totalarea = ar.sum()
+    Cl = float((cp * ndotnw * ar).sum() / totalarea)
+    Cdp = float((cp * ndotw * ar).sum() / totalarea)
+    Cdsf = float((cf * tdotw * ar).sum() / totalarea)
+
+    table = np.stack([np.asarray(mesh.f_mid[sel, 0]),
+                      np.asarray(mesh.f_mid[sel, 1]),
+                      np.asarray(cp), np.asarray(cf)], axis=1)
+    return table, (Cl, Cdp, Cdsf)

@@ -1,0 +1,182 @@
+"""Steady-state pseudo-time continuation solvers.
+
+Explicit forward Euler with local time steps and implicit backward Euler
+(pseudo-transient continuation / quasi-Newton), mirroring the reference's
+SteadyForwardEulerSolver / SteadyBackwardEulerSolver
+(FVENS src/ode/aodesolver.cpp:136-638):
+
+  - residual norm = sqrt( sum_cells r_energy^2 * area )  (:516-527)
+  - convergence on resi/initres with initres from the first step
+  - exponential residual-based CFL ramp
+    CFL_{n+1} = clamp(CFL_n * (res_{n-1}/res_n)^p)  (:110-120)
+  - implicit step: (Vol/(CFL dt) I + J1) du = rhs, u += omega du with the
+    first-order Jacobian J1 (defect-correction quasi-Newton)
+  - NaN residual -> Numerical_error; non-convergence -> Tolerance_error.
+
+Each pseudo-time step is one jitted device program; the tiny scalar control
+flow (CFL ramp, convergence test) stays on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (LinearSolverConfig, NonlinearUpdateConfig,
+                      PseudoTimeConfig)
+from . import jacobian as jacmod
+from .linear import bsr_matvec, gmres, make_preconditioner
+from .relaxation import get_update_scheme
+
+
+class NumericalError(ArithmeticError):
+    """Residual became NaN/inf (ref aerrorhandling.hpp:16-40)."""
+
+
+class ToleranceError(RuntimeError):
+    """Did not converge to tolerance within max iterations."""
+
+
+@dataclasses.dataclass
+class SolveInfo:
+    converged: bool = False
+    steps: int = 0
+    initres: float = 0.0
+    finalres: float = 0.0
+    total_lin_iters: int = 0
+    walltime: float = 0.0
+    history: list = dataclasses.field(default_factory=list)
+
+
+def residual_norm(mesh, rhs):
+    """Energy-component L2 norm weighted by cell area (aodesolver.cpp:516-527)."""
+    r = rhs[:, -1] if rhs.ndim == 2 else rhs
+    return jnp.sqrt(((r * r) * mesh.area * mesh.cell_mask).sum())
+
+
+def exp_residual_ramp(cflmin, cflmax, prevcfl, resratio, pup, pdown):
+    """(aodesolver.cpp:110-120), host scalars."""
+    p = pup if resratio > 1.0 else pdown
+    newcfl = prevcfl * resratio ** p
+    return float(min(max(newcfl, cflmin), cflmax))
+
+
+@dataclasses.dataclass
+class SteadyForwardEuler:
+    space: object                   # FlowFV or DiffusionFV
+    cfg: PseudoTimeConfig
+
+    def _step(self, mesh, u):
+        rhs, dt = self.space.compute_residual(mesh, u, True)
+        # NOTE: the reference applies cfl_init (not the ramped CFL) in the
+        # explicit update (aodesolver.cpp:249) — mirrored for parity.
+        unew = u + (self.cfg.cfl_init * dt * mesh.inv_area)[:, None] * rhs
+        return unew, residual_norm(mesh, rhs)
+
+    def solve(self, mesh, u0, log_every: int = 0) -> tuple:
+        step_fn = jax.jit(partial(self._step, mesh))
+        u = u0
+        info = SolveInfo()
+        t0 = time.perf_counter()
+        res = initres = 1.0
+        step = 0
+        while step < self.cfg.maxiter:
+            u, resj = step_fn(u)
+            res = float(resj)
+            if not np.isfinite(res):
+                raise NumericalError("explicit solve diverged: residual NaN/inf")
+            if step == 0:
+                initres = res
+            step += 1
+            if log_every and step % log_every == 0:
+                print(f"  FE step {step}: relres {res/initres:.3e}")
+            if res / initres <= self.cfg.tol:
+                break
+        info.walltime = time.perf_counter() - t0
+        info.steps = step
+        info.initres = initres
+        info.finalres = res
+        info.converged = res / initres <= self.cfg.tol
+        if not info.converged:
+            raise ToleranceError("explicit steady solve did not converge")
+        return u, info
+
+
+@dataclasses.dataclass
+class SteadyBackwardEuler:
+    space: object
+    cfg: PseudoTimeConfig
+    lin: LinearSolverConfig = LinearSolverConfig()
+    nl: NonlinearUpdateConfig = NonlinearUpdateConfig()
+
+    def _step(self, mesh, u, cfl):
+        rhs, dt = self.space.compute_residual(mesh, u, True)
+        jac = self.space.assemble_jacobian(mesh, u)
+        jac = jacmod.add_pseudotime_term(mesh, jac, cfl, dt)
+
+        pc = make_preconditioner(mesh, jac, self.lin.pc, self.lin.pc_sweeps)
+        if self.lin.matrix_free:
+            diag = (mesh.area / (cfl * dt) * mesh.cell_mask)[:, None]
+
+            def matvec(x):
+                # exact JVP of -rhs plus the pseudo-time diagonal
+                # (vs the reference's FD approximation, alinalg.cpp:143-233)
+                _, tang = jax.jvp(
+                    lambda v: self.space.compute_residual(mesh, v, False)[0],
+                    (u,), (x,))
+                return diag * x - tang
+        else:
+            matvec = lambda x: bsr_matvec(mesh, jac, x)
+
+        du, iters, relres = gmres(matvec, rhs, jnp.zeros_like(rhs), pc,
+                                  restart=self.lin.restart,
+                                  maxiter=self.lin.maxiter,
+                                  rtol=self.lin.rtol)
+
+        omega = get_update_scheme(self.nl.scheme)(
+            getattr(self.space, "phy", None), u, du, self.nl.min_factor)
+        unew = u + omega[:, None] * du
+        return unew, residual_norm(mesh, rhs), iters
+
+    def solve(self, mesh, u0, log_every: int = 0) -> tuple:
+        step_fn = jax.jit(partial(self._step, mesh))
+        u = u0
+        info = SolveInfo()
+        t0 = time.perf_counter()
+        res = resold = initres = 1.0
+        cfl = self.cfg.cfl_init
+        step = 0
+        while step < self.cfg.maxiter:
+            if step > 0:
+                cfl = exp_residual_ramp(self.cfg.cfl_init, self.cfg.cfl_fin,
+                                        cfl, resold / res, 0.25, 0.3)
+            u, resj, itersj = step_fn(u, cfl)
+            resold = res
+            res = float(resj)
+            info.total_lin_iters += int(itersj)
+            if not np.isfinite(res):
+                raise NumericalError("implicit solve diverged: residual NaN/inf")
+            if step == 0:
+                initres = res
+                resold = res
+            step += 1
+            info.history.append((step, res / initres, res, cfl))
+            if log_every and (step - 1) % log_every == 0:
+                print(f"  BE step {step}: relres {res/initres:.3e} "
+                      f"cfl {cfl:.1f} lin_its {int(itersj)}")
+            if res / initres <= self.cfg.tol:
+                break
+        info.walltime = time.perf_counter() - t0
+        info.steps = step
+        info.initres = initres
+        info.finalres = res
+        info.converged = res / initres <= self.cfg.tol
+        if not info.converged:
+            raise ToleranceError("implicit steady solve did not converge")
+        return u, info
