@@ -1,0 +1,96 @@
+"""fvens_steady-equivalent CLI.
+
+Usage:  python -m fvens_tpu.cases.cli case.ctrl [--mesh_file m.msh]
+            [--platform cpu|tpu] [--f32] [--vtu out.vtu]
+
+Mirrors the reference driver (FVENS src/fvens_steady.cpp:15-57): parse the
+control file, build the mesh, free-stream init, starter + main solve, then
+write functionals, surface data and VTU output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="fvens_tpu steady flow solver")
+    ap.add_argument("control_file")
+    ap.add_argument("--mesh_file", default=None,
+                    help="override the control file's mesh")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (cpu, tpu, ...)")
+    ap.add_argument("--f32", action="store_true",
+                    help="solve in float32 (TPU-native precision)")
+    ap.add_argument("--vtu", default=None, help="write VTU solution here")
+    ap.add_argument("--surface", default=None,
+                    help="write wall surface data (x y Cp Cf) here")
+    ap.add_argument("--history", default=None,
+                    help="write convergence history (JSONL) here")
+    ap.add_argument("--log_every", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..io_config import parse_control_file, write_vtu
+    from ..mesh.reader import read_mesh
+    from ..mesh.device_mesh import compile_mesh
+    from .casesolvers import SteadyFlowCase, build_space
+    from ..output import surface_data, entropy_error
+
+    cfg = parse_control_file(args.control_file, mesh_file=args.mesh_file)
+    dtype = jnp.float32 if args.f32 else jnp.float64
+
+    md = read_mesh(cfg.mesh_file)
+    mesh = compile_mesh(md, cfg.bcs, dtype=dtype)
+    print(f"fvens_tpu: mesh {cfg.mesh_file}: {mesh.n_cells} cells, "
+          f"{mesh.n_bfaces} boundary faces, {mesh.n_faces} faces")
+
+    case = SteadyFlowCase(cfg)
+    t0 = time.perf_counter()
+    u, info, fnls = case.run_output(mesh, log_every=args.log_every)
+    wall = time.perf_counter() - t0
+
+    print(f"fvens_tpu: solved in {info.steps} steps, "
+          f"{info.total_lin_iters} linear iterations, {wall:.3f} s")
+    print(f"  entropy error: {fnls.entropy:.10e}")
+    print(f"  CL   = {fnls.CL:.15e}")
+    print(f"  CDp  = {fnls.CDp:.15e}")
+    print(f"  CDsf = {fnls.CDsf:.15e}")
+
+    space = build_space(cfg)
+    if args.surface and cfg.wall_markers:
+        table, _ = surface_data(space, mesh, u, cfg.wall_markers)
+        np.savetxt(args.surface, table, header="x y Cp Cf")
+        print(f"  wrote surface data to {args.surface}")
+
+    if args.history:
+        with open(args.history, "w") as f:
+            for (step, relres, absres, cfl) in info.history:
+                f.write(json.dumps({"step": step, "relres": relres,
+                                    "absres": absres, "cfl": cfl}) + "\n")
+
+    if args.vtu:
+        phy = space.phy
+        un = np.asarray(u)[: mesh.n_cells]
+        p = np.asarray(phy.pressure(jnp.asarray(un)))
+        c = np.sqrt(cfg.physics.gamma * p / un[:, 0])
+        vel = un[:, 1:3] / un[:, 0:1]
+        mach = np.sqrt((vel ** 2).sum(1)) / c
+        write_vtu(args.vtu, md,
+                  cell_scalars={"density": un[:, 0], "pressure": p,
+                                "mach": mach},
+                  cell_vectors={"velocity": vel})
+        print(f"  wrote VTU solution to {args.vtu}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

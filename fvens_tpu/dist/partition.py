@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import BCSpec, BC_NAMES, BC_EXTRAPOLATION, BC_PERIODIC
-from ..mesh.device_mesh import CompiledMesh, MAXNF, _round_up
+from ..mesh.device_mesh import CompiledMesh, MAXNF, _round_up, greedy_coloring
 from ..mesh.geometry import compute_geometry
 from ..mesh.reader import MeshData
 from ..mesh.topology import build_topology, compute_periodic_map
@@ -255,6 +255,9 @@ def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
         V[bad] = np.eye(2)
         wls_vinv = np.linalg.inv(V)
 
+        color_rows_p, color_counts_p, n_colors_p = greedy_coloring(
+            cell_nbrs, nbr_mask, cmask > 0, NCl)
+
         bc_code = np.full(max_nbf, BC_EXTRAPOLATION, np.int32)
         bc_v0 = np.zeros(max_nbf); bc_v1 = np.zeros(max_nbf)
         bc_tag = np.full(max_nbf, -1, np.int32)
@@ -288,8 +291,21 @@ def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
             cell_faces=cell_faces, cell_fsign=cell_fsign,
             cell_nbrs=cell_nbrs, nbr_mask=nbr_mask, wls_vinv=wls_vinv,
             clength=clen, bc_code=bc_code, bc_v0=bc_v0, bc_v1=bc_v1,
-            bc_tag=bc_tag,
+            bc_tag=bc_tag, color_rows=color_rows_p,
+            color_counts=color_counts_p,
         ))
+
+    # pad per-part colorings to a common (n_colors, max_rows) shape
+    n_colors = max(f["color_rows"].shape[0] for f in fields)
+    max_rows = max(f["color_rows"].shape[1] for f in fields)
+    for f in fields:
+        cr = np.full((n_colors, max_rows), NCl - 1, np.int32)
+        cc = np.zeros(n_colors, np.int32)
+        r = f["color_rows"]; c = f["color_counts"]
+        cr[: r.shape[0], : r.shape[1]] = r
+        cc[: c.shape[0]] = c
+        f["color_rows"] = cr
+        f["color_counts"] = cc
 
     stack = {}
     for k in fields[0]:
@@ -300,7 +316,8 @@ def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
             stack[k] = jnp.asarray(arrs, dtype=dtype)
 
     mesh = CompiledMesh(n_cells=-1, n_bfaces=max_nbf,
-                        n_ifaces=NFl - max_nbf, NC=NCl, NF=NFl, **stack)
+                        n_ifaces=NFl - max_nbf, NC=NCl, NF=NFl,
+                        n_colors=n_colors, **stack)
 
     return ShardedMeshBundle(
         mesh=mesh, send_idx=jnp.asarray(send_stack),

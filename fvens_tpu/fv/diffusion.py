@@ -59,8 +59,12 @@ class DiffusionFV:
 
         dt = None
         if gettimesteps:
-            # dt = h^2 / nu with h^2 ~ cell area (diffusion.cpp:231-234)
-            dt = mesh.area / nu
+            # dt = h^2 / nu with h = max face length of the cell
+            # (diffusion.cpp:22-31, 239)
+            h = (mesh.f_len[mesh.cell_faces]
+                 * (jnp.abs(mesh.cell_fsign) > 0)).max(axis=1)
+            h = jnp.maximum(h, 1e-300)
+            dt = h * h / nu
         return rhs, dt
 
     def assemble_jacobian(self, mesh, u):

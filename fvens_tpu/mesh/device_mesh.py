@@ -37,6 +37,44 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def greedy_coloring(cell_nbrs: np.ndarray, nbr_mask: np.ndarray,
+                    active: np.ndarray, NC: int):
+    """Greedy coloring of the cell adjacency graph (<=4 neighbours in 2D, so
+    <=5 colors). Only `active` cells are colored; returns
+    (color_rows (n_colors, max_rows) int32 padded with NC-1,
+     color_counts (n_colors,), n_colors).
+
+    Drives the multicolor block-SGS preconditioner - the TPU answer to the
+    reference's sequential ILU0/SGS sweeps (PETSc bjacobi+ilu and BLASTed
+    async sweeps, SURVEY.md sec 2.9 item 3): cells of one color share no
+    faces, so a whole color updates in one batched step.
+    """
+    n = cell_nbrs.shape[0]
+    color = np.full(n, -1, dtype=np.int64)
+    for c in range(n):
+        if not active[c]:
+            continue
+        used = set()
+        for k in range(cell_nbrs.shape[1]):
+            if nbr_mask[c, k] > 0:
+                nb = int(cell_nbrs[c, k])
+                if nb < n and color[nb] >= 0:
+                    used.add(color[nb])
+        col = 0
+        while col in used:
+            col += 1
+        color[c] = col
+    n_colors = max(1, int(color.max()) + 1)
+    groups = [np.flatnonzero(color == c) for c in range(n_colors)]
+    max_rows = max(1, max(g.size for g in groups))
+    rows = np.full((n_colors, max_rows), NC - 1, dtype=np.int32)
+    counts = np.zeros(n_colors, dtype=np.int32)
+    for c, g in enumerate(groups):
+        rows[c, : g.size] = g
+        counts[c] = g.size
+    return rows, counts, n_colors
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=[
              "f_left", "f_right", "f_normal", "f_len", "f_mid",
@@ -44,10 +82,11 @@ def _round_up(n: int, m: int) -> int:
              "f_w2", "f_dr",
              "area", "inv_area", "rc", "cell_mask",
              "cell_faces", "cell_fsign", "cell_nbrs", "nbr_mask",
-             "wls_vinv", "clength",
+             "wls_vinv", "clength", "color_rows", "color_counts",
              "bc_code", "bc_v0", "bc_v1", "bc_tag",
          ],
-         meta_fields=["n_cells", "n_bfaces", "n_ifaces", "NC", "NF"])
+         meta_fields=["n_cells", "n_bfaces", "n_ifaces", "NC", "NF",
+                      "n_colors"])
 @dataclasses.dataclass(frozen=True)
 class CompiledMesh:
     """Static SoA mesh arrays. Shapes: NC = padded cells, NF = padded faces,
@@ -84,6 +123,10 @@ class CompiledMesh:
     nbr_mask: jnp.ndarray    # (NC,4) 1.0 if the neighbour is a real cell
     wls_vinv: jnp.ndarray    # (NC,2,2) inverse least-squares LHS
     clength: jnp.ndarray     # (NC,) characteristic length (Venkatakrishnan)
+    color_rows: jnp.ndarray  # (n_colors, max_color_rows) cell ids per color
+    #                          of a greedy adjacency coloring (padded with the
+    #                          last padding cell) - drives multicolor SGS
+    color_counts: jnp.ndarray  # (n_colors,) real rows per color
 
     # --- physical boundary faces (prefix of the face list) ---
     bc_code: jnp.ndarray     # (NB,) int32 BC type code (config.BC_*)
@@ -97,6 +140,7 @@ class CompiledMesh:
     n_ifaces: int
     NC: int
     NF: int
+    n_colors: int
 
     @property
     def n_faces(self) -> int:
@@ -234,6 +278,9 @@ def compile_mesh(md: MeshData, bcs: Sequence[BCSpec] = (),
             if len(bc.values) > 1:
                 bc_v1[ib] = bc.values[1]
 
+    color_rows, color_counts, n_colors = greedy_coloring(
+        cell_nbrs, nbr_mask, cell_mask > 0, NC)
+
     fa = lambda x: jnp.asarray(x, dtype=dtype)
     ia = lambda x: jnp.asarray(x, dtype=jnp.int32)
 
@@ -246,6 +293,8 @@ def compile_mesh(md: MeshData, bcs: Sequence[BCSpec] = (),
         cell_mask=fa(cell_mask), cell_faces=ia(cell_faces),
         cell_fsign=fa(cell_fsign), cell_nbrs=ia(cell_nbrs),
         nbr_mask=fa(nbr_mask), wls_vinv=fa(wls_vinv), clength=fa(clength),
+        color_rows=ia(color_rows), color_counts=ia(color_counts),
         bc_code=ia(bc_code), bc_v0=fa(bc_v0), bc_v1=fa(bc_v1), bc_tag=ia(bc_tag),
         n_cells=nelem, n_bfaces=nb, n_ifaces=ni, NC=NC, NF=NF,
+        n_colors=n_colors,
     )
