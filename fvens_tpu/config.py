@@ -102,13 +102,15 @@ class PseudoTimeConfig:
 
 @dataclasses.dataclass(frozen=True)
 class LinearSolverConfig:
-    """Krylov settings (ref testcases/defaults.solverc: FGMRES(30) rtol 1e-1,
-    bjacobi+ILU0)."""
-    restart: int = 30
-    maxiter: int = 30
+    """Krylov settings. Reference defaults are FGMRES(30) rtol 1e-1 with
+    bjacobi+ILU0 (testcases/defaults.solverc); the TPU-native equivalent of
+    ILU0 strength is the multicolor block-SGS (bcsgs), which needs a few more
+    Krylov iterations on stiff viscous meshes."""
+    restart: int = 60
+    maxiter: int = 60
     rtol: float = 1e-1
-    pc: str = "bjacobi"                # none | bjacobi | bsgs
-    pc_sweeps: int = 4                 # sweeps for iterative PCs
+    pc: str = "bcsgs"                  # none | bjacobi | bsgs | bcsgs
+    pc_sweeps: int = 2                 # sweeps for iterative PCs
     matrix_free: bool = False
 
 

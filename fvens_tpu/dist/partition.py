@@ -56,6 +56,11 @@ class ShardedMeshBundle:
 def greedy_partition(esuel: np.ndarray, nfael: np.ndarray, nparts: int
                      ) -> np.ndarray:
     """Balanced BFS-growth partition of the cell adjacency graph."""
+    from ..native import greedy_partition_native
+    nat = greedy_partition_native(esuel, np.asarray(nfael, dtype=np.int64),
+                                  nparts)
+    if nat is not None:
+        return nat
     from collections import deque
     nelem = esuel.shape[0]
     part = np.full(nelem, -1, dtype=np.int64)

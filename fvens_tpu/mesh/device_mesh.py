@@ -50,21 +50,26 @@ def greedy_coloring(cell_nbrs: np.ndarray, nbr_mask: np.ndarray,
     faces, so a whole color updates in one batched step.
     """
     n = cell_nbrs.shape[0]
-    color = np.full(n, -1, dtype=np.int64)
-    for c in range(n):
-        if not active[c]:
-            continue
-        used = set()
-        for k in range(cell_nbrs.shape[1]):
-            if nbr_mask[c, k] > 0:
-                nb = int(cell_nbrs[c, k])
-                if nb < n and color[nb] >= 0:
-                    used.add(color[nb])
-        col = 0
-        while col in used:
-            col += 1
-        color[c] = col
-    n_colors = max(1, int(color.max()) + 1)
+    from ..native import greedy_coloring_native
+    nat = greedy_coloring_native(cell_nbrs, nbr_mask, active)
+    if nat is not None:
+        color, n_colors = nat
+    else:
+        color = np.full(n, -1, dtype=np.int64)
+        for c in range(n):
+            if not active[c]:
+                continue
+            used = set()
+            for k in range(cell_nbrs.shape[1]):
+                if nbr_mask[c, k] > 0:
+                    nb = int(cell_nbrs[c, k])
+                    if nb < n and color[nb] >= 0:
+                        used.add(color[nb])
+            col = 0
+            while col in used:
+                col += 1
+            color[c] = col
+        n_colors = max(1, int(color.max()) + 1)
     groups = [np.flatnonzero(color == c) for c in range(n_colors)]
     max_rows = max(1, max(g.size for g in groups))
     rows = np.full((n_colors, max_rows), NC - 1, dtype=np.int32)
