@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Calibrated from our CPU backend run of the same implicit solve on the
 # 13,156-cell NACA mesh (see docs/BENCH_NOTES.md); FVENS itself publishes no
 # numbers. The BASELINE target is 10x this.
-CPU_BASELINE_RATE = 60_000.0
+CPU_BASELINE_RATE = 55_928.0
 
 
 def main() -> int:

@@ -48,7 +48,7 @@ def ghost_state(phy: GasPhysics, ins, n, code, v0, v1, uinf, u_partner=None):
     vni = vx * n[..., 0] + vy * n[..., 1]
     p = phy.pressure(ins)
     c = jnp.sqrt(g * p / rho)
-    uinf_b = jnp.broadcast_to(uinf, ins.shape)
+    uinf_b = jnp.broadcast_to(uinf.astype(ins.dtype), ins.shape)
 
     # ---- slip wall (abc.cpp:218-226): reflect normal momentum
     gs_slip = jnp.stack([
