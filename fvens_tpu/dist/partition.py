@@ -184,6 +184,12 @@ def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
         f_normal[~valid_f, 0] = 1.0
         f_len = gatherf(geom.f_len)
         f_mid = gatherf(geom.f_mid)
+        # right-state reconstruction points (partner midpoint on periodic)
+        rpoint_g = geom.f_mid.copy()
+        perg = np.flatnonzero(topo.periodic_partner >= 0)
+        if perg.size:
+            rpoint_g[perg] = geom.f_mid[topo.periodic_partner[perg]]
+        f_rpoint = gatherf(rpoint_g)
         rcl_g = geom.rc[fc[:, 0]]
         rcr_g = geom.rc[np.maximum(fr, 0)]
         rcr_g[:nb] = geom.rcbp
@@ -290,7 +296,8 @@ def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
 
         fields.append(dict(
             f_left=f_left, f_right=f_right, f_normal=f_normal, f_len=f_len,
-            f_mid=f_mid, f_rcl=f_rcl, f_rcr=f_rcr, f_dr_unit=f_dru,
+            f_mid=f_mid, f_rpoint=f_rpoint, f_rcl=f_rcl, f_rcr=f_rcr,
+            f_dr_unit=f_dru,
             f_dist=f_dist, f_wl=f_wl, f_wr=f_wr, f_w2=f_w2, f_dr=f_dr,
             area=area, inv_area=1.0 / area, rc=rc, cell_mask=cmask,
             cell_faces=cell_faces, cell_fsign=cell_fsign,

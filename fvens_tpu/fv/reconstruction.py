@@ -32,9 +32,10 @@ def _extrapolate(w, grads, cells, points, rc):
 
 
 def linear_reconstruction(mesh, w, wg, grads, limiter_param=0.0):
-    """Unlimited linear (areconstruction.cpp:42-105)."""
+    """Unlimited linear (areconstruction.cpp:42-105). The right state is
+    evaluated at f_rpoint (= the partner face midpoint on periodic faces)."""
     wL = _extrapolate(w, grads, mesh.f_left, mesh.f_mid, mesh.rc)
-    wR = _extrapolate(w, grads, mesh.f_right, mesh.f_mid, mesh.rc)
+    wR = _extrapolate(w, grads, mesh.f_right, mesh.f_rpoint, mesh.rc)
     return wL, wR
 
 
@@ -57,7 +58,7 @@ def weno_reconstruction(mesh, w, wg, grads, limiter_param=20.0):
              + (wn[:, :, None, :] * gn).sum(axis=1)) / wsum[:, None, :]
 
     wL = _extrapolate(w, lgrad, mesh.f_left, mesh.f_mid, mesh.rc)
-    wR = _extrapolate(w, lgrad, mesh.f_right, mesh.f_mid, mesh.rc)
+    wR = _extrapolate(w, lgrad, mesh.f_right, mesh.f_rpoint, mesh.rc)
     return wL, wR
 
 
@@ -112,7 +113,7 @@ def _limited_linear(mesh, w, wg, grads, phi):
     """Extrapolate with per-cell limited slope phi (NC,V)."""
     lg = grads * phi[:, None, :]
     wL = _extrapolate(w, lg, mesh.f_left, mesh.f_mid, mesh.rc)
-    wR = _extrapolate(w, lg, mesh.f_right, mesh.f_mid, mesh.rc)
+    wR = _extrapolate(w, lg, mesh.f_right, mesh.f_rpoint, mesh.rc)
     return wL, wR
 
 

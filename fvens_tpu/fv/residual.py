@@ -88,10 +88,16 @@ class FlowFV:
             uR = u[mesh.f_right]
 
         # flux-side ghost states at physical boundaries from the (possibly
-        # reconstructed) left face state (flow_spatial.cpp:777-778)
+        # reconstructed) left face state (flow_spatial.cpp:777-778).
+        # Periodic faces keep the reconstructed right state from the partner
+        # cell at the partner face midpoint (2nd-order periodic coupling).
         ug_flux = bcs.ghost_state(phy, uL[:nb], mesh.f_normal[:nb],
                                   mesh.bc_code, mesh.bc_v0, mesh.bc_v1,
                                   self.uinf, u_partner=u[mesh.f_right[:nb]])
+        if self.ncfg.order2:
+            from ..config import BC_PERIODIC
+            keep = (mesh.bc_code == BC_PERIODIC)[:, None]
+            ug_flux = jnp.where(keep, uR[:nb], ug_flux)
         uR = uR.at[:nb].set(ug_flux)
         if ug_cell is None:
             ug_cell = ug_flux

@@ -82,7 +82,7 @@ def greedy_coloring(cell_nbrs: np.ndarray, nbr_mask: np.ndarray,
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=[
-             "f_left", "f_right", "f_normal", "f_len", "f_mid",
+             "f_left", "f_right", "f_normal", "f_len", "f_mid", "f_rpoint",
              "f_rcl", "f_rcr", "f_dr_unit", "f_dist", "f_wl", "f_wr",
              "f_w2", "f_dr",
              "area", "inv_area", "rc", "cell_mask",
@@ -106,6 +106,12 @@ class CompiledMesh:
     f_normal: jnp.ndarray    # (NF,2) unit normal, left -> right
     f_len: jnp.ndarray       # (NF,) face length (0 on padding)
     f_mid: jnp.ndarray       # (NF,2) face midpoint (quadrature point)
+    f_rpoint: jnp.ndarray    # (NF,2) point at which the RIGHT state is
+    #                          reconstructed: the face midpoint, except on
+    #                          periodic faces where it is the PARTNER face's
+    #                          midpoint (so both copies of a periodic pair
+    #                          see identical left/right states -> exact
+    #                          conservation; improves on the reference)
     f_rcl: jnp.ndarray       # (NF,2) left cell centre
     f_rcr: jnp.ndarray       # (NF,2) right cell centre (ghost centre on bdry)
     f_dr_unit: jnp.ndarray   # (NF,2) unit vector rcl -> rcr
@@ -199,6 +205,10 @@ def compile_mesh(md: MeshData, bcs: Sequence[BCSpec] = (),
     f_normal[:nf] = geom.f_normal
     f_len = np.zeros(NF); f_len[:nf] = geom.f_len
     f_mid = np.zeros((NF, 2)); f_mid[:nf] = geom.f_mid
+    f_rpoint = f_mid.copy()
+    per = np.flatnonzero(topo.periodic_partner >= 0)
+    if per.size:
+        f_rpoint[per] = geom.f_mid[topo.periodic_partner[per]]
 
     f_rcl = np.zeros((NF, 2)); f_rcl[:nf] = geom.rc[topo.f_cells[:nf, 0]]
     f_rcr = np.zeros((NF, 2))
@@ -291,7 +301,8 @@ def compile_mesh(md: MeshData, bcs: Sequence[BCSpec] = (),
 
     return CompiledMesh(
         f_left=ia(f_left), f_right=ia(f_right), f_normal=fa(f_normal),
-        f_len=fa(f_len), f_mid=fa(f_mid), f_rcl=fa(f_rcl), f_rcr=fa(f_rcr),
+        f_len=fa(f_len), f_mid=fa(f_mid), f_rpoint=fa(f_rpoint),
+        f_rcl=fa(f_rcl), f_rcr=fa(f_rcr),
         f_dr_unit=fa(f_dr_unit), f_dist=fa(f_dist), f_wl=fa(f_wl),
         f_wr=fa(f_wr), f_w2=fa(f_w2), f_dr=fa(f_dr),
         area=fa(area), inv_area=fa(1.0 / area), rc=fa(rc),

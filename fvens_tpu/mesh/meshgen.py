@@ -166,11 +166,15 @@ def naca0012_omesh(nt: int = 160, nr: int = 48, r_out: float = 20.0,
     t = 0.12
     yt = 5 * t * (0.2969 * np.sqrt(xc) - 0.1260 * xc - 0.3516 * xc ** 2
                   + 0.2843 * xc ** 3 - 0.1036 * xc ** 4)  # closed TE coeff
+    # floor the half-thickness so the wrap cell at the sharp TE never
+    # degenerates to zero area at high resolution (bench meshes only)
+    yt = np.maximum(yt, 2.5e-4)
     ysurf = np.where(beta <= np.pi, yt, -yt)
     xsurf = xc
-    # outer circle centred at quarter chord
+    # outer circle centred at quarter chord; outer points at UNIFORM angles
+    # matched to the surface parameter (beta=0 -> +x TE direction, beta=pi
+    # -> -x LE direction) so radial lines never cross at the sharp TE
     xcen, ycen = 0.25, 0.0
-    phi = np.arctan2(ysurf - ycen, xsurf - xcen)
     Xs = np.empty((nt, nr + 1))
     Ys = np.empty((nt, nr + 1))
     if abs(stretch - 1.0) < 1e-12:
@@ -181,8 +185,8 @@ def naca0012_omesh(nt: int = 160, nr: int = 48, r_out: float = 20.0,
         tt /= tt[-1]
     for i in range(nt):
         x0, y0 = xsurf[i], ysurf[i]
-        x1 = xcen + r_out * np.cos(phi[i])
-        y1 = ycen + r_out * np.sin(phi[i])
+        x1 = xcen + r_out * np.cos(beta[i])
+        y1 = ycen + r_out * np.sin(beta[i])
         Xs[i] = x0 + (x1 - x0) * tt
         Ys[i] = y0 + (y1 - y0) * tt
     return _grid_mesh(Xs, Ys, {"jmin": wall_marker, "jmax": far_marker},
