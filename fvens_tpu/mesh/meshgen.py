@@ -117,47 +117,79 @@ def cylinder_family(nmesh: int, n0t: int = 40, n0r: int = 20, tri: bool = False,
     return out
 
 
-def flatplate(nx: int, ny: int, plate_len: float = 1.0, lead: float = 0.25,
-              height: float = 0.5, ywall: float = 2e-3,
-              inflow_marker: int = 1, farfield_marker: int = 4,
-              wall_marker: int = 2, sym_marker: int = 3,
-              outflow_marker: int = 5, tri: bool = False) -> MeshData:
-    """Stretched structured grid for the laminar flat-plate case
-    (mirrors tests/visc-flatplate geometry: symmetry run-up ahead of the
-    plate, adiabatic wall on the plate, farfield above).
+def _transfinite(n_points: int, prog: float, a: float, b: float) -> np.ndarray:
+    """Gmsh 'Transfinite Line = n Using Progression r' distribution from a
+    to b: n-1 intervals each `prog` times the previous (smallest at `a`)."""
+    n = n_points - 1
+    w = prog ** np.arange(n)
+    t = np.concatenate([[0.0], np.cumsum(w)])
+    t /= t[-1]
+    return a + (b - a) * t
 
-    Markers: inflow (left), outflow (right), wall (plate bottom),
-    symmetry (bottom ahead of plate), farfield (top).
+
+def _insert_midpoints(x: np.ndarray) -> np.ndarray:
+    """Gmsh RefineMesh equivalent for a 1-D distribution."""
+    mid = 0.5 * (x[:-1] + x[1:])
+    out = np.empty(2 * x.size - 1)
+    out[0::2] = x
+    out[1::2] = mid
+    return out
+
+
+def flatplate(level: int = 0, ref: int = 2, wall_marker: int = 2,
+              sym_marker: int = 3, far_marker: int = 4,
+              out_marker: int = 5, tri: bool = False) -> MeshData:
+    """Laminar flat-plate grid family, mirroring the reference's
+    flatplatestructstretched.geo (testcases/visc-flatplate/grids/): domain
+    [-0.5, 1] x [0, 1], slipwall run-up (marker 3) before the adiabatic
+    plate (2) on the bottom, farfield (4) on left+top, outflow (5) right;
+    transfinite progressions 1.2 (inlet x), 1.1 (plate x), 1.4 (y), globally
+    midpoint-refined `level` times.
     """
-    # x-distribution: uniform run-up, mild clustering at the leading edge
-    nlead = max(2, int(round(nx * lead / (lead + plate_len))))
-    nplate = nx - nlead
-    xl = -lead + lead * np.linspace(0, 1, nlead + 1)
-    s = np.linspace(0, 1, nplate + 1)
-    xp = plate_len * s ** 1.2
-    x = np.concatenate([xl[:-1], xp])
-    # y-distribution: geometric from ywall
-    ratio = (height / ywall) ** (1.0 / (ny - 1))
-    y = np.concatenate([[0.0], ywall * np.cumprod(np.full(ny, ratio)) / ratio])
-    y *= height / y[-1]
+    xi = _transfinite(5 * ref, 1.2, 0.0, -0.5)     # clustered at x=0
+    xp = _transfinite(10 * ref, 1.1, 0.0, 1.0)     # clustered at LE
+    y = _transfinite(10 * ref, 1.4, 0.0, 1.0)      # clustered at wall
+    for _ in range(level):
+        xi = _insert_midpoints(xi)
+        xp = _insert_midpoints(xp)
+        y = _insert_midpoints(y)
+    x = np.concatenate([xi[::-1][:-1], xp])
     X, Y = np.meshgrid(x, y, indexing="ij")
 
-    md = _grid_mesh(X, Y, {"imin": inflow_marker, "imax": outflow_marker,
-                           "jmin": wall_marker, "jmax": farfield_marker},
+    md = _grid_mesh(X, Y, {"imin": far_marker, "imax": out_marker,
+                           "jmin": wall_marker, "jmax": far_marker},
                     tri=tri)
-    # split bottom boundary: faces with midpoint x < 0 are symmetry
-    nb = md.bface.shape[0]
-    for ib in range(nb):
+    # split the bottom boundary: faces ahead of the plate are slip walls
+    for ib in range(md.bface.shape[0]):
         if md.bface[ib, 2] == wall_marker:
-            xm = 0.5 * (md.coords[md.bface[ib, 0], 0] + md.coords[md.bface[ib, 1], 0])
+            xm = 0.5 * (md.coords[md.bface[ib, 0], 0]
+                        + md.coords[md.bface[ib, 1], 0])
             if xm < 0.0:
                 md.bface[ib, 2] = sym_marker
     return md
 
 
+def _radial_distribution(nr: int, first_frac: float) -> np.ndarray:
+    """Geometric 0..1 distribution with a prescribed first-layer fraction:
+    solves f0 (r^n - 1)/(r - 1) = 1 for the ratio r by bisection."""
+    if first_frac * nr >= 1.0:
+        return np.linspace(0.0, 1.0, nr + 1)
+    lo, hi = 1.0 + 1e-12, 4.0
+    for _ in range(80):
+        r = 0.5 * (lo + hi)
+        total = first_frac * (r ** nr - 1.0) / (r - 1.0)
+        if total < 1.0:
+            lo = r
+        else:
+            hi = r
+    w = first_frac * lo ** np.arange(nr)
+    t = np.concatenate([[0.0], np.cumsum(w)])
+    return t / t[-1]
+
+
 def naca0012_omesh(nt: int = 160, nr: int = 48, r_out: float = 20.0,
-                   stretch: float = 1.2, wall_marker: int = 2,
-                   far_marker: int = 4, blunt_te: bool = False) -> MeshData:
+                   first_layer: float = 2e-4, wall_marker: int = 2,
+                   far_marker: int = 4) -> MeshData:
     """Algebraic O-mesh around a NACA0012 airfoil (sharp trailing edge,
     cosine clustering at LE/TE). For self-contained transonic/laminar cases."""
     # airfoil surface: cosine spacing, from TE over the top to LE and back
@@ -177,12 +209,7 @@ def naca0012_omesh(nt: int = 160, nr: int = 48, r_out: float = 20.0,
     xcen, ycen = 0.25, 0.0
     Xs = np.empty((nt, nr + 1))
     Ys = np.empty((nt, nr + 1))
-    if abs(stretch - 1.0) < 1e-12:
-        tt = np.linspace(0, 1, nr + 1)
-    else:
-        w = stretch ** np.arange(nr)
-        tt = np.concatenate([[0.0], np.cumsum(w)])
-        tt /= tt[-1]
+    tt = _radial_distribution(nr, first_layer)
     for i in range(nt):
         x0, y0 = xsurf[i], ysurf[i]
         x1 = xcen + r_out * np.cos(beta[i])
