@@ -36,20 +36,32 @@ class BlockJacobian(NamedTuple):
     B: jnp.ndarray   # (NF,4,4) d(flux*len)/du_right
 
 
-def bsr_matvec(mesh, jac: BlockJacobian, x):
-    """y = J x with the face-block Jacobian; x (NC,V)."""
-    y = jnp.einsum("cij,cj->ci", jac.D, x)
-    nbv = x.shape[-1]
-    x_ext = jnp.concatenate(
-        [x, jnp.zeros((mesh.n_bfaces, nbv), dtype=x.dtype)], axis=0)
-    xn = x_ext[mesh.cell_nbrs]                        # (NC,4,V)
+def cell_offdiag_blocks(mesh, jac: BlockJacobian):
+    """Gather the off-diagonal blocks into per-cell layout (NC,4,V,V) ONCE
+    per Newton step; GMRES then reuses them every matvec / SGS sweep."""
     Ag = jac.A[mesh.cell_faces]                       # (NC,4,V,V)
     Bg = jac.B[mesh.cell_faces]
     s = mesh.cell_fsign[..., None, None]
     blocks = jnp.where(s > 0, Bg, -Ag) * jnp.abs(s)
-    blocks = blocks * mesh.nbr_mask[..., None, None]
-    y = y + jnp.einsum("ckij,ckj->ci", blocks, xn)
-    return y
+    return blocks * mesh.nbr_mask[..., None, None]
+
+
+def _neighbor_gather(mesh, x):
+    """x values of each cell's neighbours (NC,4,V); boundary ghost slots
+    read zero."""
+    nbv = x.shape[-1]
+    x_ext = jnp.concatenate(
+        [x, jnp.zeros((mesh.n_bfaces, nbv), dtype=x.dtype)], axis=0)
+    return x_ext[mesh.cell_nbrs]
+
+
+def bsr_matvec(mesh, jac: BlockJacobian, x, blocks=None):
+    """y = J x with the face-block Jacobian; x (NC,V)."""
+    if blocks is None:
+        blocks = cell_offdiag_blocks(mesh, jac)
+    y = jnp.einsum("cij,cj->ci", jac.D, x)
+    xn = _neighbor_gather(mesh, x)                    # (NC,4,V)
+    return y + jnp.einsum("ckij,ckj->ci", blocks, xn)
 
 
 def block_jacobi_inverse(D):
@@ -110,49 +122,47 @@ def make_preconditioner(mesh, jac: BlockJacobian, kind: str = "bjacobi",
     apply_dinv = lambda v: jnp.einsum("cij,cj->ci", Dinv, v)
     if kind == "bjacobi":
         return apply_dinv
+    blocks = cell_offdiag_blocks(mesh, jac)
     if kind == "bsgs":
         def pc(v):
             z = apply_dinv(v)
             for _ in range(sweeps):
-                z = z + apply_dinv(v - bsr_matvec(mesh, jac, z))
+                z = z + apply_dinv(v - bsr_matvec(mesh, jac, z, blocks))
             return z
         return pc
     if kind == "bcsgs":
-        return make_colored_sgs(mesh, jac, Dinv, sweeps)
+        return make_colored_sgs(mesh, jac, Dinv, blocks, sweeps)
     raise ValueError(f"unknown preconditioner '{kind}'")
 
 
-def make_colored_sgs(mesh, jac: BlockJacobian, Dinv, sweeps: int = 1):
+def make_colored_sgs(mesh, jac: BlockJacobian, Dinv, blocks,
+                     sweeps: int = 1):
     """Multicolor block symmetric Gauss-Seidel.
 
     The TPU equivalent of the reference's bjacobi+ILU0 / BLASTed SGS sweeps
     (testcases/defaults.solverc, perftest/): cells of one adjacency color
     share no faces, so each color updates as one batched 4x4 solve with the
     freshest neighbour values. One sweep = forward + backward color passes.
+
+    All gathered structures (per-color off-diagonal block tensors, inverted
+    diagonals) are precomputed once per Newton step and closed over.
     """
     nv = jac.D.shape[-1]
     x_pad = jnp.zeros((mesh.n_bfaces, nv), dtype=jac.D.dtype)
-
-    # per-color gathered structures
     rows_all = mesh.color_rows                       # (ncol, R)
     ncol = mesh.n_colors
 
-    def offdiag_rows(z, rows):
-        """sum of off-diagonal blocks times z, restricted to `rows`."""
-        z_ext = jnp.concatenate([z, x_pad], axis=0)
-        nbrs = mesh.cell_nbrs[rows]                  # (R,4)
-        zn = z_ext[nbrs]                             # (R,4,nv)
-        Ag = jac.A[mesh.cell_faces[rows]]            # (R,4,nv,nv)
-        Bg = jac.B[mesh.cell_faces[rows]]
-        s = mesh.cell_fsign[rows][..., None, None]
-        blocks = jnp.where(s > 0, Bg, -Ag) * jnp.abs(s)
-        blocks = blocks * mesh.nbr_mask[rows][..., None, None]
-        return jnp.einsum("rkij,rkj->ri", blocks, zn)
+    # static per-color gathers, done once
+    col_blocks = [blocks[rows_all[c]] for c in range(ncol)]   # (R,4,nv,nv)
+    col_nbrs = [mesh.cell_nbrs[rows_all[c]] for c in range(ncol)]
+    col_dinv = [Dinv[rows_all[c]] for c in range(ncol)]
 
     def color_update(z, v, c):
         rows = rows_all[c]
-        r = v[rows] - offdiag_rows(z, rows)
-        znew = jnp.einsum("rij,rj->ri", Dinv[rows], r)
+        z_ext = jnp.concatenate([z, x_pad], axis=0)
+        zn = z_ext[col_nbrs[c]]                      # (R,4,nv)
+        off = jnp.einsum("rkij,rkj->ri", col_blocks[c], zn)
+        znew = jnp.einsum("rij,rj->ri", col_dinv[c], v[rows] - off)
         return z.at[rows].set(znew)
 
     def pc(v):
