@@ -37,6 +37,46 @@ def cyl_config(flux="HLLC", gradient="LEASTSQUARES"):
 
 
 @pytest.mark.slow
+def test_flatplate_cdsf_convergence_order():
+    """Laminar flat plate: skin-friction-drag error order vs the Blasius
+    values must lie in [0.95, 1.5] (reference tests/flow_clcd_conv.cpp:
+    132-151, comparing |CDsf| to exact_clcd_flatplate.dat)."""
+    import math
+    from fvens_tpu.mesh import compile_mesh
+    from fvens_tpu.mesh.meshgen import flatplate
+
+    cfg = FlowCaseConfig(
+        physics=PhysicsConfig(Minf=0.2, Reinf=8.7e5, Tinf=290.19, Pr=0.708,
+                              viscous=True),
+        numerics=NumericsConfig(flux="ROE", gradient="LEASTSQUARES",
+                                reconstruction="LINEAR", order2=True),
+        bcs=[BCSpec(marker=2, type="adiabaticwall", values=(0.0,)),
+             BCSpec(marker=3, type="slipwall"),
+             BCSpec(marker=4, type="farfield"),
+             BCSpec(marker=5, type="inflowoutflow")],
+        main=PseudoTimeConfig(cfl_init=100.0, cfl_fin=4000.0, tol=1e-5,
+                              maxiter=1000),
+        init=PseudoTimeConfig(cfl_init=20.0, cfl_fin=2000.0, tol=1e-1,
+                              maxiter=50),
+        linear=LinearSolverConfig(restart=60, maxiter=60, rtol=1e-1,
+                                  pc="bcsgs", pc_sweeps=2),
+        nl_update=NonlinearUpdateConfig(scheme="full"),
+        wall_markers=(2,),
+    )
+    case = SteadyFlowCase(cfg)
+    ex_cdsf = 1.423765e-3   # tests/visc-flatplate/exact_clcd_flatplate.dat
+    errs, hs = [], []
+    for lev in range(3):
+        mesh = compile_mesh(flatplate(level=lev), cfg.bcs)
+        u, info, f = case.run_output(mesh)
+        errs.append(abs(abs(f.CDsf) - ex_cdsf))
+        hs.append(mesh.h_param)
+    slope = (math.log10(errs[-1]) - math.log10(errs[-2])) / \
+        (math.log10(hs[-1]) - math.log10(hs[-2]))
+    assert 0.95 <= slope <= 1.5, f"CDsf order {slope} outside [0.95, 1.5]"
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("flux,gradient", [("HLLC", "LEASTSQUARES"),
                                            ("ROE", "GREENGAUSS")])
 def test_entropy_convergence_order(refdir, flux, gradient):
