@@ -106,11 +106,11 @@ class LinearSolverConfig:
     bjacobi+ILU0 (testcases/defaults.solverc); the TPU-native equivalent of
     ILU0 strength is the multicolor block-SGS (bcsgs), which needs a few more
     Krylov iterations on stiff viscous meshes."""
-    restart: int = 60
-    maxiter: int = 60
-    rtol: float = 1e-1
+    restart: int = 90
+    maxiter: int = 90
+    rtol: float = 1e-2
     pc: str = "bcsgs"                  # none | bjacobi | bsgs | bcsgs
-    pc_sweeps: int = 2                 # sweeps for iterative PCs
+    pc_sweeps: int = 3                 # sweeps for iterative PCs
     matrix_free: bool = False
 
 
