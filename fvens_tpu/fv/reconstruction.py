@@ -26,9 +26,8 @@ MUSCL_K = 1.0 / 3.0
 def _extrapolate(w, grads, cells, points, rc):
     """value at `points` extrapolated from `cells`: w_c + grad_c . (x - rc_c)."""
     d = points - rc[cells]                                  # (NF,2)
-    return (w[cells]
-            + grads[cells, 0, :] * d[:, 0:1]
-            + grads[cells, 1, :] * d[:, 1:2])
+    g = grads[cells]                                        # one (NF,2,V) gather
+    return w[cells] + g[:, 0, :] * d[:, 0:1] + g[:, 1, :] * d[:, 1:2]
 
 
 def linear_reconstruction(mesh, w, wg, grads, limiter_param=0.0):

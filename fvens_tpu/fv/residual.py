@@ -132,14 +132,25 @@ class FlowFV:
 
         fluxlen = flux * mesh.f_len[:, None]                     # (NF,4)
 
-        # signed incidence sum: rhs[c] = - sum_k sign_ck * fluxlen[face_ck]
-        g = fluxlen[mesh.cell_faces]                             # (NC,4,4)
-        rhs = -(mesh.cell_fsign[..., None] * g).sum(axis=1)
-        rhs = rhs * mesh.cell_mask[:, None]
-
         if not gettimesteps:
-            return rhs, None
-        return rhs, self.compute_timesteps(mesh, uL, uR)
+            g = fluxlen[mesh.cell_faces]                         # (NC,4,4)
+            rhs = -(mesh.cell_fsign[..., None] * g).sum(axis=1)
+            return rhs * mesh.cell_mask[:, None], None
+
+        # pack flux + the two per-side spectral radii into ONE face payload
+        # so the per-cell incidence gather happens once (the gather is the
+        # dominant cost of this kernel on TPU)
+        si, sj = self._face_spectral_radii(mesh, uL, uR)
+        payload = jnp.concatenate(
+            [fluxlen, si[:, None], sj[:, None]], axis=1)         # (NF,6)
+        g = payload[mesh.cell_faces]                             # (NC,4,6)
+        s = mesh.cell_fsign[..., None]
+        rhs = -(s * g[..., :4]).sum(axis=1) * mesh.cell_mask[:, None]
+        sel = jnp.where(mesh.cell_fsign > 0, g[..., 4],
+                        jnp.where(mesh.cell_fsign < 0, g[..., 5], 0.0))
+        integ = sel.sum(axis=1)
+        dt = mesh.area / jnp.maximum(integ, 1e-300)
+        return rhs, dt
 
     def assemble_jacobian(self, mesh, u):
         """First-order face-block Jacobian via jax.jacfwd (defect-correction
@@ -147,8 +158,8 @@ class FlowFV:
         from ..solver.jacobian import assemble_jacobian
         return assemble_jacobian(self, mesh, u)
 
-    def compute_timesteps(self, mesh, uL, uR):
-        """Local pseudo-time steps dt_c = area_c / sum_f (|vn|+c+lambda_v)*len
+    def _face_spectral_radii(self, mesh, uL, uR):
+        """Per-face convective (+viscous) spectral radii integrals
         (flow_spatial.cpp:566-634)."""
         phy = self.phy
         n = mesh.f_normal
@@ -171,7 +182,12 @@ class FlowFV:
             ar = mesh.area[mesh.f_right]
             si = si + coi * mui / phy.Pr * mesh.f_len ** 2 / al
             sj = sj + coj * muj / phy.Pr * mesh.f_len ** 2 / ar
+        return si, sj
 
+    def compute_timesteps(self, mesh, uL, uR):
+        """Local pseudo-time steps dt_c = area_c / sum_f (|vn|+c+lambda_v)*len
+        (flow_spatial.cpp:566-634)."""
+        si, sj = self._face_spectral_radii(mesh, uL, uR)
         gi = si[mesh.cell_faces]                                 # (NC,4)
         gj = sj[mesh.cell_faces]
         sel = jnp.where(mesh.cell_fsign > 0, gi,

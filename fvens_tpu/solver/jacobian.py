@@ -55,11 +55,16 @@ def assemble_jacobian(space, mesh, u) -> BlockJacobian:
     ul = u[mesh.f_left]
     ur = u[mesh.f_right]
 
-    jac_l = jax.vmap(jax.jacfwd(face_flux, argnums=0))
-    jac_r = jax.vmap(jax.jacfwd(face_flux, argnums=1))
-    args = (ul, ur, mesh.f_normal, mesh.f_dr_unit, mesh.f_dist, mesh.f_len)
-    A = jac_l(*args)                                   # (NF,4,4)
-    B = jac_r(*args)
+    # one jacfwd over the stacked (ul, ur) pair: a single 8-tangent forward
+    # sweep instead of two 4-tangent sweeps with duplicated primal work
+    def face_flux_pair(ulr, n, dr_unit, dist, length):
+        return face_flux(ulr[:4], ulr[4:], n, dr_unit, dist, length)
+
+    jac_pair = jax.vmap(jax.jacfwd(face_flux_pair, argnums=0))
+    AB = jac_pair(jnp.concatenate([ul, ur], axis=-1), mesh.f_normal,
+                  mesh.f_dr_unit, mesh.f_dist, mesh.f_len)   # (NF,4,8)
+    A = AB[..., :4]
+    B = AB[..., 4:]
 
     # boundary faces: differentiate through the BC composition
     def bface_flux(uli, n, dr_unit, dist, length, code, v0, v1, upartner):
