@@ -284,6 +284,11 @@ def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
                 bc_v1[j] = bc.values[1]
             bc_tag[j] = tag
 
+        from ..mesh.device_mesh import build_slot_arrays
+        sn, sdr, sdist, slen, scode, sv0, sv1 = build_slot_arrays(
+            f_normal, f_dru, f_dist, f_len, bc_code, bc_v0, bc_v1, max_nbf,
+            cell_faces, cell_fsign)
+
         s = send_sets[p]
         if s.size:
             send_stack[p, :s.size] = g2l_vec[s]
@@ -305,6 +310,8 @@ def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
             clength=clen, bc_code=bc_code, bc_v0=bc_v0, bc_v1=bc_v1,
             bc_tag=bc_tag, color_rows=color_rows_p,
             color_counts=color_counts_p,
+            slot_normal=sn, slot_dr_unit=sdr, slot_dist=sdist,
+            slot_len=slen, slot_bc_code=scode, slot_v0=sv0, slot_v1=sv1,
         ))
 
     # pad per-part colorings to a common (n_colors, max_rows) shape

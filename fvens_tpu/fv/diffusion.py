@@ -73,24 +73,17 @@ class DiffusionFV:
         diffusion.cpp:253-300)."""
         from ..solver.linear import BlockJacobian
         nu = self.diffusivity
-        nb = mesh.n_bfaces
 
-        # analytic 1x1 blocks of the thin-layer flux
-        # flux_f = -nu * (u_r - u_l)/dist * (dr_unit . n) * len
-        coef = (-nu / mesh.f_dist
-                * (mesh.f_dr_unit * mesh.f_normal).sum(axis=1)
-                * mesh.f_len)                            # (NF,)
-        A = (-coef)[:, None, None] * jnp.ones((1, 1, 1), dtype=u.dtype)
-        B = coef[:, None, None] * jnp.ones((1, 1, 1), dtype=u.dtype)
-        # Dirichlet boundary: ghost = 2b - u_l, d(ghost)/du_l = -1
-        # => dflux/du_l = A + B * (-1)
-        Ab = A[:nb] - B[:nb]
-        A = A.at[:nb].set(Ab)
-        B = B.at[:nb].set(0.0)
-
-        Ag = A[mesh.cell_faces]
-        Bg = B[mesh.cell_faces]
-        s = mesh.cell_fsign[..., None, None]
-        D = (jnp.where(s > 0, Ag, -Bg) * jnp.abs(s)).sum(axis=1)
+        # analytic 1x1 slot blocks of the thin-layer flux
+        # F_ck = -nu (u_nbr - u_c)/dist (dr_unit . n) len  (slot orientation)
+        fc = (-nu / mesh.slot_dist
+              * (mesh.slot_dr_unit * mesh.slot_normal).sum(axis=-1)
+              * mesh.slot_len)                           # (NC,4)
+        L = -fc                                          # dF/du_c
+        N = fc * mesh.nbr_mask                           # dF/du_nbr
+        # Dirichlet boundary slots: ghost = 2b - u_c -> dF/du_c = -2 fc
+        is_b = mesh.slot_bc_code >= 0
+        L = jnp.where(is_b, -2.0 * fc, L)
+        D = L.sum(axis=1)[:, None, None]
         D = D + (1.0 - mesh.cell_mask)[:, None, None]
-        return BlockJacobian(D=D, A=A, B=B)
+        return BlockJacobian(D=D, N=N[..., None, None])

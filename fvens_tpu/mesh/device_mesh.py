@@ -80,6 +80,29 @@ def greedy_coloring(cell_nbrs: np.ndarray, nbr_mask: np.ndarray,
     return rows, counts, n_colors
 
 
+def build_slot_arrays(f_normal, f_dr_unit, f_dist, f_len,
+                      bc_code, bc_v0, bc_v1, n_bfaces,
+                      cell_faces, cell_fsign):
+    """Per-cell-slot face geometry with the owner's orientation baked in
+    (see CompiledMesh.slot_* docs). NumPy, host-side."""
+    cf = cell_faces
+    s = cell_fsign
+    sn = f_normal[cf] * s[..., None]
+    sn[s == 0] = np.array([1.0, 0.0])
+    sdr = f_dr_unit[cf] * s[..., None]
+    sdist = f_dist[cf]
+    slen = f_len[cf] * np.abs(s)
+    nb = max(n_bfaces, 1)
+    cfb = np.clip(cf, 0, nb - 1)
+    is_b = (cf < n_bfaces) & (s != 0)
+    code = np.where(is_b, bc_code[cfb], -1).astype(np.int32)
+    # periodic slots couple to the partner cell like interior faces
+    code = np.where(code == BC_PERIODIC, -1, code)
+    v0 = np.where(is_b, bc_v0[cfb], 0.0)
+    v1 = np.where(is_b, bc_v1[cfb], 0.0)
+    return sn, sdr, sdist, slen, code, v0, v1
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=[
              "f_left", "f_right", "f_normal", "f_len", "f_mid", "f_rpoint",
@@ -88,6 +111,8 @@ def greedy_coloring(cell_nbrs: np.ndarray, nbr_mask: np.ndarray,
              "area", "inv_area", "rc", "cell_mask",
              "cell_faces", "cell_fsign", "cell_nbrs", "nbr_mask",
              "wls_vinv", "clength", "color_rows", "color_counts",
+             "slot_normal", "slot_dr_unit", "slot_dist", "slot_len",
+             "slot_bc_code", "slot_v0", "slot_v1",
              "bc_code", "bc_v0", "bc_v1", "bc_tag",
          ],
          meta_fields=["n_cells", "n_bfaces", "n_ifaces", "NC", "NF",
@@ -138,6 +163,19 @@ class CompiledMesh:
     #                          of a greedy adjacency coloring (padded with the
     #                          last padding cell) - drives multicolor SGS
     color_counts: jnp.ndarray  # (n_colors,) real rows per color
+
+    # --- per-cell-slot face geometry (slot (c,k) = local face k of cell c).
+    # Encodes the owner's orientation: slot_normal = sign * face normal, so
+    # the slot flux is always flux(u_c, u_nbr, slot_normal) * slot_len and
+    # the Jacobian can be assembled directly in per-cell layout with NO
+    # block gathers (flux conservation identity f(a,b,n) = -f(b,a,-n)). ---
+    slot_normal: jnp.ndarray   # (NC,4,2)
+    slot_dr_unit: jnp.ndarray  # (NC,4,2) sign * dr_unit (thin-layer dir)
+    slot_dist: jnp.ndarray     # (NC,4)
+    slot_len: jnp.ndarray      # (NC,4) face length, 0 on padding slots
+    slot_bc_code: jnp.ndarray  # (NC,4) int32 BC code or -1 (interior)
+    slot_v0: jnp.ndarray       # (NC,4)
+    slot_v1: jnp.ndarray       # (NC,4)
 
     # --- physical boundary faces (prefix of the face list) ---
     bc_code: jnp.ndarray     # (NB,) int32 BC type code (config.BC_*)
@@ -296,6 +334,10 @@ def compile_mesh(md: MeshData, bcs: Sequence[BCSpec] = (),
     color_rows, color_counts, n_colors = greedy_coloring(
         cell_nbrs, nbr_mask, cell_mask > 0, NC)
 
+    sn, sdr, sdist, slen, scode, sv0, sv1 = build_slot_arrays(
+        f_normal, f_dr_unit, f_dist, f_len, bc_code, bc_v0, bc_v1, nb,
+        cell_faces, cell_fsign)
+
     fa = lambda x: jnp.asarray(x, dtype=dtype)
     ia = lambda x: jnp.asarray(x, dtype=jnp.int32)
 
@@ -310,6 +352,9 @@ def compile_mesh(md: MeshData, bcs: Sequence[BCSpec] = (),
         cell_fsign=fa(cell_fsign), cell_nbrs=ia(cell_nbrs),
         nbr_mask=fa(nbr_mask), wls_vinv=fa(wls_vinv), clength=fa(clength),
         color_rows=ia(color_rows), color_counts=ia(color_counts),
+        slot_normal=fa(sn), slot_dr_unit=fa(sdr), slot_dist=fa(sdist),
+        slot_len=fa(slen), slot_bc_code=ia(scode), slot_v0=fa(sv0),
+        slot_v1=fa(sv1),
         bc_code=ia(bc_code), bc_v0=fa(bc_v0), bc_v1=fa(bc_v1), bc_tag=ia(bc_tag),
         n_cells=nelem, n_bfaces=nb, n_ifaces=ni, NC=NC, NF=NF,
         n_colors=n_colors,

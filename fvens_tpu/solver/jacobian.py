@@ -1,16 +1,22 @@
-"""First-order flux Jacobian assembly via forward-mode AD.
+"""First-order flux Jacobian assembly via forward-mode AD, directly in
+per-cell-slot layout.
 
 Replaces the ~1000 lines of hand-written flux/BC/viscous Jacobians of the
 reference (anumericalflux.cpp get_jacobian methods, abc.cpp
-computeGhostStateAndJacobian, aspatial.cpp:242-340 assembly loops) with
-jax.jacfwd over the per-face first-order flux:
+computeGhostStateAndJacobian, aspatial.cpp:242-340 assembly loops).
 
-  interior face:  flux(u_l, u_r) * len          -> A = dF/du_l, B = dF/du_r
-  boundary face:  flux(u_l, ghost(u_l)) * len   -> A  (the reference's
-                  `left = len*(L - R*drdl)` fold comes out automatically)
-
-The viscous contribution uses the thin-layer face gradient, exactly like the
-reference's implicit path (aspatial.cpp:207-240, flow_spatial.cpp:397-446).
+Slot formulation: for cell c and local face k the signed face flux is
+    F_ck = flux(u_c, u_nbr, slot_normal_ck) * slot_len_ck
+(by the conservation identity f(a,b,n) = -f(b,a,-n) the owner's orientation
+is baked into slot_normal, see CompiledMesh). jax.jacfwd of F_ck w.r.t. the
+stacked (u_c, u_nbr) pair yields, in ONE vectorized sweep and with no
+post-hoc block gathers:
+    L_ck = dF/du_c   -> diagonal blocks D_c = sum_k L_ck
+    N_ck = dF/du_nbr -> per-slot off-diagonal blocks (the matvec layout)
+Boundary slots differentiate through the ghost-state composition, so the
+reference's `left = len*(L - R*drdl)` fold (flow_spatial.cpp:841-875) comes
+out automatically; periodic slots couple to the partner cell like interior
+faces (an off-diagonal block the reference never assembles).
 """
 
 from __future__ import annotations
@@ -33,7 +39,8 @@ def _thin_layer_grad(phy, ul, ur, dr_unit, dist):
 
 
 def assemble_jacobian(space, mesh, u) -> BlockJacobian:
-    """Face blocks A, B and cell diagonal D (without the pseudo-time term)."""
+    """Diagonal blocks D (NC,4,4) and per-slot neighbour blocks N (NC,4,4,4)
+    (without the pseudo-time term)."""
     phy = space.phy
     fluxname = space.ncfg.flux_jacobian
     if fluxname.upper() == "CONSISTENT":
@@ -42,52 +49,45 @@ def assemble_jacobian(space, mesh, u) -> BlockJacobian:
     viscous = space.pcfg.viscous
     const_visc = space.pcfg.const_visc
     uinf = space.uinf
-    nb = mesh.n_bfaces
+    NC = mesh.NC
 
-    def face_flux(ul, ur, n, dr_unit, dist, length):
-        f = inv_flux(phy, ul, ur, n)
+    def slot_flux(ucn, n, dru, dist, length, code, v0, v1):
+        uc, un = ucn[:4], ucn[4:]
+        ug = bcs.ghost_state(phy, uc, n, code, v0, v1, uinf, u_partner=un)
+        ur = jnp.where(code >= 0, ug, un)
+        f = inv_flux(phy, uc, ur, n)
         if viscous:
-            grad = _thin_layer_grad(phy, ul, ur, dr_unit, dist)
-            f = f + viscous_face_flux(phy, n[None], grad[None], ul[None],
+            grad = _thin_layer_grad(phy, uc, ur, dru, dist)
+            f = f + viscous_face_flux(phy, n[None], grad[None], uc[None],
                                       ur[None], const_visc)[0]
         return f * length
 
-    ul = u[mesh.f_left]
-    ur = u[mesh.f_right]
+    # safe neighbour states: boundary/padding slots read the cell itself so
+    # every branch of the BC select sees a valid state under jacfwd
+    self_idx = jnp.arange(NC, dtype=mesh.cell_nbrs.dtype)[:, None]
+    safe_nbrs = jnp.where(mesh.nbr_mask > 0, mesh.cell_nbrs, self_idx)
+    u_nbr = u[safe_nbrs]                                    # (NC,4,4)
+    u_c = jnp.broadcast_to(u[:, None, :], u_nbr.shape)
 
-    # one jacfwd over the stacked (ul, ur) pair: a single 8-tangent forward
-    # sweep instead of two 4-tangent sweeps with duplicated primal work
-    def face_flux_pair(ulr, n, dr_unit, dist, length):
-        return face_flux(ulr[:4], ulr[4:], n, dr_unit, dist, length)
+    S = NC * 4
+    ucn = jnp.concatenate([u_c, u_nbr], axis=-1).reshape(S, 8)
+    jac = jax.vmap(jax.jacfwd(slot_flux, argnums=0))
+    JJ = jac(ucn,
+             mesh.slot_normal.reshape(S, 2),
+             mesh.slot_dr_unit.reshape(S, 2),
+             mesh.slot_dist.reshape(S),
+             mesh.slot_len.reshape(S),
+             mesh.slot_bc_code.reshape(S),
+             mesh.slot_v0.reshape(S),
+             mesh.slot_v1.reshape(S)).reshape(NC, 4, 4, 8)
 
-    jac_pair = jax.vmap(jax.jacfwd(face_flux_pair, argnums=0))
-    AB = jac_pair(jnp.concatenate([ul, ur], axis=-1), mesh.f_normal,
-                  mesh.f_dr_unit, mesh.f_dist, mesh.f_len)   # (NF,4,8)
-    A = AB[..., :4]
-    B = AB[..., 4:]
-
-    # boundary faces: differentiate through the BC composition
-    def bface_flux(uli, n, dr_unit, dist, length, code, v0, v1, upartner):
-        ug = bcs.ghost_state(phy, uli, n, code, v0, v1, uinf,
-                             u_partner=upartner)
-        return face_flux(uli, ug, n, dr_unit, dist, length)
-
-    jac_b = jax.vmap(jax.jacfwd(bface_flux, argnums=0))
-    Ab = jac_b(ul[:nb], mesh.f_normal[:nb], mesh.f_dr_unit[:nb],
-               mesh.f_dist[:nb], mesh.f_len[:nb], mesh.bc_code,
-               mesh.bc_v0, mesh.bc_v1, u[mesh.f_right[:nb]])
-    A = A.at[:nb].set(Ab)
-    B = B.at[:nb].set(0.0)
-
-    # diagonal: D[c] = sum_f (sign>0 ? A_f : -B_f)
-    Ag = A[mesh.cell_faces]
-    Bg = B[mesh.cell_faces]
-    s = mesh.cell_fsign[..., None, None]
-    D = (jnp.where(s > 0, Ag, -Bg) * jnp.abs(s)).sum(axis=1)
+    L = JJ[..., :4]                                         # (NC,4,4,4)
+    N = JJ[..., 4:] * mesh.nbr_mask[..., None, None]
+    D = L.sum(axis=1)
     # identity on padded cells to keep the diagonal invertible
     eye = jnp.eye(4, dtype=u.dtype)
     D = D + (1.0 - mesh.cell_mask)[:, None, None] * eye
-    return BlockJacobian(D=D, A=A, B=B)
+    return BlockJacobian(D=D, N=N)
 
 
 def add_pseudotime_term(mesh, jac: BlockJacobian, cfl, dt) -> BlockJacobian:

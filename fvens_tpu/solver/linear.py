@@ -22,28 +22,17 @@ import jax.numpy as jnp
 
 
 class BlockJacobian(NamedTuple):
-    """First-order Jacobian of r(u) = -rhs(u) in face-block form.
+    """First-order Jacobian of r(u) = -rhs(u) in per-cell-slot block form
+    (the layout the matvec and the SGS sweeps consume directly):
 
-    For interior face f with left cell l and right cell r and face flux
-    F(u_l, u_r) * len:   J[l,l] += A_f, J[l,r] += B_f,
-                          J[r,l] -= A_f, J[r,r] -= B_f.
-    D already folds the boundary-ghost contribution (the reference's
+        (J x)_c = D_c x_c + sum_k N_ck x_nbr(c,k)
+
+    D folds the boundary-ghost contribution (the reference's
     `left = len*(L - R*drdl)` fold, flow_spatial.cpp:841-875, comes free
-    from differentiating through the BC composition).
+    from differentiating through the BC composition in assemble_jacobian).
     """
-    D: jnp.ndarray   # (NC,4,4) diagonal blocks (incl. pseudo-time term)
-    A: jnp.ndarray   # (NF,4,4) d(flux*len)/du_left
-    B: jnp.ndarray   # (NF,4,4) d(flux*len)/du_right
-
-
-def cell_offdiag_blocks(mesh, jac: BlockJacobian):
-    """Gather the off-diagonal blocks into per-cell layout (NC,4,V,V) ONCE
-    per Newton step; GMRES then reuses them every matvec / SGS sweep."""
-    Ag = jac.A[mesh.cell_faces]                       # (NC,4,V,V)
-    Bg = jac.B[mesh.cell_faces]
-    s = mesh.cell_fsign[..., None, None]
-    blocks = jnp.where(s > 0, Bg, -Ag) * jnp.abs(s)
-    return blocks * mesh.nbr_mask[..., None, None]
+    D: jnp.ndarray   # (NC,V,V) diagonal blocks (incl. pseudo-time term)
+    N: jnp.ndarray   # (NC,4,V,V) per-slot neighbour blocks (0 at boundaries)
 
 
 def _neighbor_gather(mesh, x):
@@ -55,13 +44,11 @@ def _neighbor_gather(mesh, x):
     return x_ext[mesh.cell_nbrs]
 
 
-def bsr_matvec(mesh, jac: BlockJacobian, x, blocks=None):
-    """y = J x with the face-block Jacobian; x (NC,V)."""
-    if blocks is None:
-        blocks = cell_offdiag_blocks(mesh, jac)
+def bsr_matvec(mesh, jac: BlockJacobian, x):
+    """y = J x with the slot-block Jacobian; x (NC,V)."""
     y = jnp.einsum("cij,cj->ci", jac.D, x)
     xn = _neighbor_gather(mesh, x)                    # (NC,4,V)
-    return y + jnp.einsum("ckij,ckj->ci", blocks, xn)
+    return y + jnp.einsum("ckij,ckj->ci", jac.N, xn)
 
 
 def block_jacobi_inverse(D):
@@ -122,16 +109,15 @@ def make_preconditioner(mesh, jac: BlockJacobian, kind: str = "bjacobi",
     apply_dinv = lambda v: jnp.einsum("cij,cj->ci", Dinv, v)
     if kind == "bjacobi":
         return apply_dinv
-    blocks = cell_offdiag_blocks(mesh, jac)
     if kind == "bsgs":
         def pc(v):
             z = apply_dinv(v)
             for _ in range(sweeps):
-                z = z + apply_dinv(v - bsr_matvec(mesh, jac, z, blocks))
+                z = z + apply_dinv(v - bsr_matvec(mesh, jac, z))
             return z
         return pc
     if kind == "bcsgs":
-        return make_colored_sgs(mesh, jac, Dinv, blocks, sweeps)
+        return make_colored_sgs(mesh, jac, Dinv, jac.N, sweeps)
     raise ValueError(f"unknown preconditioner '{kind}'")
 
 

@@ -121,8 +121,6 @@ class SteadyBackwardEuler:
         jac = jacmod.add_pseudotime_term(mesh, jac, cfl, dt)
 
         pc = make_preconditioner(mesh, jac, self.lin.pc, self.lin.pc_sweeps)
-        from .linear import cell_offdiag_blocks
-        blocks = cell_offdiag_blocks(mesh, jac)
         if self.lin.matrix_free:
             diag = (mesh.area / (cfl * dt) * mesh.cell_mask)[:, None]
 
@@ -134,7 +132,7 @@ class SteadyBackwardEuler:
                     (u,), (x,))
                 return diag * x - tang
         else:
-            matvec = lambda x: bsr_matvec(mesh, jac, x, blocks)
+            matvec = lambda x: bsr_matvec(mesh, jac, x)
 
         du, iters, relres = gmres(matvec, rhs, jnp.zeros_like(rhs), pc,
                                   restart=self.lin.restart,

@@ -29,8 +29,9 @@ def cyl_config(flux="HLLC", gradient="LEASTSQUARES"):
                               maxiter=300),
         init=PseudoTimeConfig(cfl_init=25.0, cfl_fin=500.0, tol=1e-1,
                               maxiter=150),
-        linear=LinearSolverConfig(restart=30, maxiter=30, rtol=1e-1,
-                                  pc="bcsgs", pc_sweeps=1),
+        # default linear solver (rtol 1e-2 + 3 SGS sweeps): the looser
+        # rtol 1e-1 setting lets the mid-resolution mesh fall into a
+        # nonlinear limit cycle near tolerance
         nl_update=NonlinearUpdateConfig(scheme="robust_flow", min_factor=0.2),
         wall_markers=(2,),
     )
