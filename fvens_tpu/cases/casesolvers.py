@@ -53,11 +53,14 @@ class SteadyFlowCase:
     """Starter (first-order, loose tol) -> main (second-order) solve."""
     cfg: FlowCaseConfig
 
-    def _make_solver(self, space, pt):
+    def _make_solver(self, space, pt, checkpoint: bool = False):
         if pt.stepping == "explicit":
             return SteadyForwardEuler(space, pt)
-        return SteadyBackwardEuler(space, pt, self.cfg.linear,
-                                   self.cfg.nl_update)
+        return SteadyBackwardEuler(
+            space, pt, self.cfg.linear, self.cfg.nl_update,
+            checkpoint_path=(self.cfg.checkpoint_path or None) if checkpoint
+            else None,
+            checkpoint_every=self.cfg.checkpoint_every)
 
     def execute_starter(self, mesh, u, log_every: int = 0):
         """First-order startup; tolerance failures are swallowed
@@ -72,7 +75,7 @@ class SteadyFlowCase:
 
     def execute_main(self, mesh, u, log_every: int = 0):
         space = build_space(self.cfg)
-        solver = self._make_solver(space, self.cfg.main)
+        solver = self._make_solver(space, self.cfg.main, checkpoint=True)
         return solver.solve(mesh, u, log_every=log_every)
 
     def solve(self, mesh, u=None, log_every: int = 0):

@@ -30,6 +30,8 @@ def main(argv=None) -> int:
                     help="write wall surface data (x y Cp Cf) here")
     ap.add_argument("--history", default=None,
                     help="write convergence history (JSONL) here")
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint/resume the main solve at this path")
     ap.add_argument("--log_every", type=int, default=10)
     args = ap.parse_args(argv)
 
@@ -46,6 +48,9 @@ def main(argv=None) -> int:
     from ..output import surface_data, entropy_error
 
     cfg = parse_control_file(args.control_file, mesh_file=args.mesh_file)
+    if args.checkpoint:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, checkpoint_path=args.checkpoint)
     dtype = jnp.float32 if args.f32 else jnp.float64
 
     md = read_mesh(cfg.mesh_file)

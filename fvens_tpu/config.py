@@ -134,3 +134,5 @@ class FlowCaseConfig:
     nl_update: NonlinearUpdateConfig = NonlinearUpdateConfig()
     wall_markers: tuple = ()           # markers to integrate CL/CD over
     mesh_file: str = ""
+    checkpoint_path: str = ""          # main-solve checkpoint/resume file
+    checkpoint_every: int = 50

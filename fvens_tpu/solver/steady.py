@@ -114,6 +114,8 @@ class SteadyBackwardEuler:
     cfg: PseudoTimeConfig
     lin: LinearSolverConfig = LinearSolverConfig()
     nl: NonlinearUpdateConfig = NonlinearUpdateConfig()
+    checkpoint_path: Optional[str] = None     # save/resume state here
+    checkpoint_every: int = 50
 
     def _step(self, mesh, u, cfl):
         rhs, dt = self.space.compute_residual(mesh, u, True)
@@ -152,6 +154,21 @@ class SteadyBackwardEuler:
         res = resold = initres = 1.0
         cfl = self.cfg.cfl_init
         step = 0
+
+        # resume from a checkpoint if one exists (absent in the reference:
+        # controlparser.hpp:24 parses init_soln_file but never implements it)
+        if self.checkpoint_path:
+            import os
+            from ..io_config.checkpoint import load_checkpoint
+            if os.path.exists(self.checkpoint_path):
+                ck = load_checkpoint(self.checkpoint_path)
+                u = jnp.asarray(ck["u"], dtype=u0.dtype)
+                step = ck["step"]
+                cfl = ck["cfl"] or cfl
+                res = resold = ck["res"] or 1.0
+                initres = ck["initres"] or 1.0
+                print(f"  resumed from {self.checkpoint_path} at step {step}")
+
         while step < self.cfg.maxiter:
             if step > 0:
                 cfl = exp_residual_ramp(self.cfg.cfl_init, self.cfg.cfl_fin,
@@ -170,6 +187,11 @@ class SteadyBackwardEuler:
             if log_every and (step - 1) % log_every == 0:
                 print(f"  BE step {step}: relres {res/initres:.3e} "
                       f"cfl {cfl:.1f} lin_its {int(itersj)}")
+            if (self.checkpoint_path and self.checkpoint_every
+                    and step % self.checkpoint_every == 0):
+                from ..io_config.checkpoint import save_checkpoint
+                save_checkpoint(self.checkpoint_path, u, step=step, cfl=cfl,
+                                res=res, initres=initres)
             if res / initres <= self.cfg.tol:
                 break
         info.walltime = time.perf_counter() - t0
