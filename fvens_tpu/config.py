@@ -108,7 +108,11 @@ class LinearSolverConfig:
     Krylov iterations on stiff viscous meshes."""
     restart: int = 90
     maxiter: int = 90
-    rtol: float = 1e-2
+    rtol: float = 1e-2                 # Krylov tolerance (floor when adaptive)
+    rtol_adapt: bool = True            # Eisenstat-Walker forcing: loose while
+    #                                    the outer iteration stalls (damping),
+    #                                    tight while it converges
+    rtol_max: float = 0.2
     pc: str = "bcsgs"                  # none | bjacobi | bsgs | bcsgs
     pc_sweeps: int = 3                 # sweeps for iterative PCs
     matrix_free: bool = False

@@ -44,6 +44,42 @@ def conserved_gradients(space: FlowFV, mesh, u):
     return get_gradient_scheme(space.ncfg.gradient)(mesh, u, ug)
 
 
+def point_data(md, cell_values: np.ndarray) -> np.ndarray:
+    """Area-weighted cell->node averaging for point output
+    (aoutput.cpp:97-150 postprocess_point). cell_values (nelem, K) -> (npoin, K)."""
+    from .mesh.topology import build_topology
+    from .mesh.geometry import compute_geometry
+    topo = build_topology(md)
+    geom = compute_geometry(md, topo)
+    npoin = md.npoin
+    K = cell_values.shape[1]
+    acc = np.zeros((npoin, K))
+    wsum = np.zeros(npoin)
+    for k in range(md.inpoel.shape[1]):
+        valid = k < md.nnode
+        nodes = np.where(valid, md.inpoel[:, k], 0)
+        w = np.where(valid, geom.area, 0.0)
+        np.add.at(acc, nodes, w[:, None] * cell_values)
+        np.add.at(wsum, nodes, w)
+    wsum[wsum == 0] = 1.0
+    return acc / wsum[:, None]
+
+
+def volume_data(space: FlowFV, mesh, u):
+    """Cell-centre postprocessing table: x, y, rho, vx, vy, p, T, Mach
+    (aoutput.cpp:150-299 volume dumps)."""
+    phy = space.phy
+    n = mesh.n_cells
+    un = np.asarray(u)[:n]
+    rc = np.asarray(mesh.rc)[:n]
+    p = np.asarray(phy.pressure(jnp.asarray(un)))
+    T = np.asarray(phy.temperature(jnp.asarray(un[:, 0]), jnp.asarray(p)))
+    v = un[:, 1:3] / un[:, 0:1]
+    c = np.sqrt(space.pcfg.gamma * p / un[:, 0])
+    mach = np.sqrt((v ** 2).sum(1)) / c
+    return np.column_stack([rc, un[:, 0], v, p, T, mach])
+
+
 def surface_data(space: FlowFV, mesh, u, wall_markers):
     """Per-wall-face (x, y, Cp, Cf) plus integrated (CL, CDp, CDsf)
     (flow_spatial.cpp:130-310).

@@ -117,7 +117,7 @@ class SteadyBackwardEuler:
     checkpoint_path: Optional[str] = None     # save/resume state here
     checkpoint_every: int = 50
 
-    def _step(self, mesh, u, cfl):
+    def _step(self, mesh, u, cfl, rtol):
         rhs, dt = self.space.compute_residual(mesh, u, True)
         jac = self.space.assemble_jacobian(mesh, u)
         jac = jacmod.add_pseudotime_term(mesh, jac, cfl, dt)
@@ -139,7 +139,7 @@ class SteadyBackwardEuler:
         du, iters, relres = gmres(matvec, rhs, jnp.zeros_like(rhs), pc,
                                   restart=self.lin.restart,
                                   maxiter=self.lin.maxiter,
-                                  rtol=self.lin.rtol)
+                                  rtol=rtol)
 
         omega = get_update_scheme(self.nl.scheme)(
             getattr(self.space, "phy", None), u, du, self.nl.min_factor)
@@ -169,11 +169,32 @@ class SteadyBackwardEuler:
                 initres = ck["initres"] or 1.0
                 print(f"  resumed from {self.checkpoint_path} at step {step}")
 
+        rtol = 0.1 if self.lin.rtol_adapt else self.lin.rtol
+        rtol_floor = self.lin.rtol
         while step < self.cfg.maxiter:
             if step > 0:
                 cfl = exp_residual_ramp(self.cfg.cfl_init, self.cfg.cfl_fin,
                                         cfl, resold / res, 0.25, 0.3)
-            u, resj, itersj = step_fn(u, cfl)
+                if self.lin.rtol_adapt:
+                    # multiplicative forcing controller: residual growth or
+                    # stall -> LOOSEN the Krylov tolerance (inexact solves
+                    # damp nonlinear limit cycles); steady progress ->
+                    # TIGHTEN toward the configured floor for fast
+                    # defect-correction convergence
+                    ratio = res / resold
+                    if ratio > 1.2:        # significant growth: loosen
+                        if rtol <= rtol_floor * 1.01:
+                            # growth at the floor: tight solves drive a
+                            # nonlinear limit cycle -> raise the floor for
+                            # the rest of the solve (permanent damping)
+                            rtol_floor = min(rtol_floor * 4.0,
+                                             self.lin.rtol_max)
+                        rtol = min(max(rtol * 2.0, rtol_floor),
+                                   self.lin.rtol_max)
+                    elif ratio <= 1.0:     # progress: tighten fast
+                        rtol = max(rtol * 0.3, rtol_floor)
+                    # small wobble (1.0 < ratio <= 1.2): hold
+            u, resj, itersj = step_fn(u, cfl, rtol)
             resold = res
             res = float(resj)
             info.total_lin_iters += int(itersj)
