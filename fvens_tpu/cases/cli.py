@@ -53,6 +53,11 @@ def main(argv=None) -> int:
         cfg = _dc.replace(cfg, checkpoint_path=args.checkpoint)
     dtype = jnp.float32 if args.f32 else jnp.float64
 
+    import os
+    if not os.path.exists(cfg.mesh_file):
+        print(f"fvens_tpu: mesh file not found: {cfg.mesh_file}",
+              file=sys.stderr)
+        return 1
     md = read_mesh(cfg.mesh_file)
     mesh = compile_mesh(md, cfg.bcs, dtype=dtype)
     print(f"fvens_tpu: mesh {cfg.mesh_file}: {mesh.n_cells} cells, "

@@ -78,6 +78,15 @@ _LIM_MAP = {"none": "LINEAR", "weno": "WENO", "vanalbada": "VANALBADA",
             "venkatakrishnan": "VENKATAKRISHNAN"}
 
 
+def _lookup(table, key, what):
+    try:
+        return table[key.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown {what} '{key}' in control file; valid: "
+            + ", ".join(sorted(table))) from None
+
+
 def parse_control_file(path: str, mesh_file: str | None = None
                        ) -> FlowCaseConfig:
     with open(path) as f:
@@ -119,13 +128,17 @@ def parse_control_file(path: str, mesh_file: str | None = None
     wall_markers = tuple(int(w) for w in wlist)
 
     sd = tree.get("spatial_discretization", {})
-    grad = _GRAD_MAP[sd.get("gradient_method", "leastsquares").lower()]
+    grad = _lookup(_GRAD_MAP, sd.get("gradient_method", "leastsquares"),
+                   "gradient method")
     numerics = NumericsConfig(
-        flux=_FLUX_MAP[sd.get("inviscid_flux", "hllc").lower()],
-        flux_jacobian=_FLUX_MAP[
-            tree.get("Jacobian_inviscid_flux", "consistent").lower()],
+        flux=_lookup(_FLUX_MAP, sd.get("inviscid_flux", "hllc"),
+                     "inviscid flux"),
+        flux_jacobian=_lookup(_FLUX_MAP,
+                              tree.get("Jacobian_inviscid_flux", "consistent"),
+                              "Jacobian flux"),
         gradient=grad if grad != "NONE" else "LEASTSQUARES",
-        reconstruction=_LIM_MAP[sd.get("limiter", "none").lower()],
+        reconstruction=_lookup(_LIM_MAP, sd.get("limiter", "none"),
+                               "limiter"),
         limiter_param=float(sd.get("limiter_parameter", 20.0)),
         order2=grad != "NONE",
     )
