@@ -32,6 +32,9 @@ def main(argv=None) -> int:
                     help="write convergence history (JSONL) here")
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint/resume the main solve at this path")
+    ap.add_argument("--mesh_reorder", default="none",
+                    choices=["none", "rcm", "line", "line_rcm"],
+                    help="cell reordering (reference -mesh_reorder)")
     ap.add_argument("--log_every", type=int, default=10)
     args = ap.parse_args(argv)
 
@@ -59,6 +62,9 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
     md = read_mesh(cfg.mesh_file)
+    if args.mesh_reorder != "none":
+        from ..mesh.ordering import apply_ordering
+        md = apply_ordering(md, args.mesh_reorder)
     mesh = compile_mesh(md, cfg.bcs, dtype=dtype)
     print(f"fvens_tpu: mesh {cfg.mesh_file}: {mesh.n_cells} cells, "
           f"{mesh.n_bfaces} boundary faces, {mesh.n_faces} faces")

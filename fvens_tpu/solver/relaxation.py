@@ -19,12 +19,18 @@ def full_update(phy, u, du, min_factor):
 
 def flow_simple_update(phy: GasPhysics, u, du, min_factor):
     """omega_c = 1 - danger if danger < 1 - min_factor else min_factor,
-    danger = max(|dp|/p, |drho|/rho) (nonlinearrelaxation.cpp:24-38)."""
+    danger = max(|dp|/p, |drho|/rho) (nonlinearrelaxation.cpp:24-38).
+
+    Positivity hardening beyond the reference: when the proposed update is
+    so large that even the floor factor would change density/pressure by
+    more than ~40%, the factor shrinks as 0.4/danger so the relaxed update
+    can never drive the state negative (the reference NaNs here)."""
     p = phy.pressure(u)
     dp = jnp.abs(phy.delta_pressure(u, du)) / p
     drho = jnp.abs(du[..., 0]) / u[..., 0]
     danger = jnp.maximum(dp, drho)
-    return jnp.where(danger < 1.0 - min_factor, 1.0 - danger, min_factor)
+    floor = jnp.minimum(min_factor, 0.4 / jnp.maximum(danger, 1e-30))
+    return jnp.where(danger < 1.0 - min_factor, 1.0 - danger, floor)
 
 
 UPDATE_SCHEMES = {

@@ -171,6 +171,7 @@ class SteadyBackwardEuler:
 
         rtol = 0.1 if self.lin.rtol_adapt else self.lin.rtol
         rtol_floor = self.lin.rtol
+        nan_retries = 0
         while step < self.cfg.maxiter:
             if step > 0:
                 cfl = exp_residual_ramp(self.cfg.cfl_init, self.cfg.cfl_fin,
@@ -194,12 +195,27 @@ class SteadyBackwardEuler:
                     elif ratio <= 1.0:     # progress: tighten fast
                         rtol = max(rtol * 0.3, rtol_floor)
                     # small wobble (1.0 < ratio <= 1.2): hold
+            u_prev = u
             u, resj, itersj = step_fn(u, cfl, rtol)
             resold = res
             res = float(resj)
             info.total_lin_iters += int(itersj)
             if not np.isfinite(res):
-                raise NumericalError("implicit solve diverged: residual NaN/inf")
+                # divergence guard (beyond the reference, which throws
+                # immediately): back off to the previous state at a much
+                # smaller CFL and a loose linear tolerance
+                nan_retries += 1
+                if nan_retries > 5:
+                    raise NumericalError(
+                        "implicit solve diverged: residual NaN/inf")
+                u = u_prev
+                res = resold
+                cfl = max(cfl * 0.1, 1.0)
+                rtol = self.lin.rtol_max
+                rtol_floor = self.lin.rtol_max
+                print(f"  BE: NaN residual, retrying from previous state "
+                      f"at CFL {cfl:.1f} (retry {nan_retries}/5)")
+                continue
             if step == 0:
                 initres = res
                 resold = res
