@@ -81,7 +81,10 @@ class PhysicsConfig:
 class NumericsConfig:
     """Spatial discretization selection (ref FlowNumericsConfig)."""
     flux: str = "HLLC"                 # inviscid numerical flux
-    flux_jacobian: str = "CONSISTENT"  # flux used for the implicit Jacobian
+    flux_jacobian: str = "CONSISTENT"  # implicit Jacobian flux: CONSISTENT
+    #                                    = exact AD of the same flux, FROZEN
+    #                                    = frozen wave speeds (the
+    #                                    reference's linearization), or a name
     gradient: str = "LEASTSQUARES"     # NONE / GREENGAUSS / LEASTSQUARES
     reconstruction: str = "LINEAR"     # see RECONSTRUCTIONS
     limiter_param: float = 20.0        # WENO lambda / Venkatakrishnan K

@@ -97,15 +97,18 @@ def ghost_state(phy: GasPhysics, ins, n, code, v0, v1, uinf, u_partner=None):
     # (abc.cpp:157) for behavioral parity.
     Rminus = vni - c / (2.0 * g - 1.0)
     co2 = c * c + (g - 1.0) / 2.0 * vmag2
+    # floors keep sqrt AWAY from 0 so jacfwd through the unselected branch
+    # stays finite (sqrt'(0) = inf would poison the BC select under AD)
     q = jnp.sqrt(jnp.maximum(
-        (g + 1.0) * co2 / ((g - 1.0) * Rminus * Rminus) - (g - 1.0) / 2.0, 0.0))
+        (g + 1.0) * co2 / ((g - 1.0) * Rminus * Rminus) - (g - 1.0) / 2.0,
+        1e-20))
     cg = -Rminus * (g - 1.0) / (g + 1.0) * (1.0 + q)
     ttotal = v1 / phy.Tinf
     ptotal = v0
     tg = ttotal * cg * cg / co2
     pg = ptotal * (tg / ttotal) ** (g / (g - 1.0))
     rg = phy.density_from_pT(pg, tg)
-    vgmag = jnp.sqrt(jnp.maximum(2.0 / (g - 1.0) * (co2 - cg * cg), 0.0))
+    vgmag = jnp.sqrt(jnp.maximum(2.0 / (g - 1.0) * (co2 - cg * cg), 1e-20))
     # velocity anti-parallel to the outward face normal (flow enters)
     gs_in = jnp.stack([
         rg, -rg * vgmag * n[..., 0], -rg * vgmag * n[..., 1],

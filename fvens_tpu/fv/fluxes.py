@@ -18,9 +18,23 @@ Formulas follow the reference implementations exactly:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..physics.gas import GasPhysics
+
+
+def _maybe_freeze(x, frozen: bool):
+    """stop_gradient wrapper for wave speeds.
+
+    The reference's hand-written implicit Jacobians linearize with FROZEN
+    dissipation/signal speeds (LLF anumericalflux.cpp:66-110, HLL :1013+,
+    HLLC per Batten et al.); differentiating exactly through the wave speeds
+    gives a sharper but less dissipative operator that can destabilize
+    transonic continuation. `frozen=True` reproduces the reference behavior
+    under jax.jacfwd.
+    """
+    return jax.lax.stop_gradient(x) if frozen else x
 
 
 def _vars(phy: GasPhysics, u, n):
@@ -59,16 +73,17 @@ def _roe_averages(phy: GasPhysics, ul, ur, n):
             rhoij, vxij, vyij, vnij, vm2ij, Hij, cij)
 
 
-def llf_flux(phy: GasPhysics, ul, ur, n):
+def llf_flux(phy: GasPhysics, ul, ur, n, frozen=False):
     _, _, vni, _, pi, _, ci = _vars(phy, ul, n)
     _, _, vnj, _, pj, _, cj = _vars(phy, ur, n)
-    eig = jnp.maximum(jnp.abs(vni) + ci, jnp.abs(vnj) + cj)
+    eig = _maybe_freeze(jnp.maximum(jnp.abs(vni) + ci, jnp.abs(vnj) + cj),
+                        frozen)
     fi = _dirflux(ul, n, vni, pi)
     fj = _dirflux(ur, n, vnj, pj)
     return 0.5 * (fi + fj - eig * (ur - ul))
 
 
-def vanleer_flux(phy: GasPhysics, ul, ur, n):
+def vanleer_flux(phy: GasPhysics, ul, ur, n, frozen=False):
     g = phy.g
     vxi, vyi, vni, vm2i, pi, Hi, ci = _vars(phy, ul, n)
     vxj, vyj, vnj, vm2j, pj, Hj, cj = _vars(phy, ur, n)
@@ -101,7 +116,7 @@ def vanleer_flux(phy: GasPhysics, ul, ur, n):
     return fplus + fminus
 
 
-def ausm_flux(phy: GasPhysics, ul, ur, n):
+def ausm_flux(phy: GasPhysics, ul, ur, n, frozen=False):
     _, _, vni, _, pi, _, ci = _vars(phy, ul, n)
     _, _, vnj, _, pj, _, cj = _vars(phy, ur, n)
     Mni, Mnj = vni / ci, vnj / cj
@@ -124,7 +139,7 @@ def ausm_flux(phy: GasPhysics, ul, ur, n):
     return 0.5 * Mh * (phi_l + phi_r) - 0.5 * aMh * (phi_r - phi_l) + pn
 
 
-def ausmplus_flux(phy: GasPhysics, ul, ur, n):
+def ausmplus_flux(phy: GasPhysics, ul, ur, n, frozen=False):
     g = phy.g
     vxi, vyi, vni, vm2i, pi, Hi, ci = _vars(phy, ul, n)
     vxj, vyj, vnj, vm2j, pj, Hj, cj = _vars(phy, ur, n)
@@ -164,14 +179,14 @@ def ausmplus_flux(phy: GasPhysics, ul, ur, n):
 ROE_FIX_EPS = 1.0e-4   # Harten entropy-fix parameter (anumericalflux.cpp:664)
 
 
-def roe_flux(phy: GasPhysics, ul, ur, n):
+def roe_flux(phy: GasPhysics, ul, ur, n, frozen=False):
     (vxi, vyi, vni, vm2i, pi, Hi, ci,
      vxj, vyj, vnj, vm2j, pj, Hj, cj,
      rhoij, vxij, vyij, vnij, vm2ij, Hij, cij) = _roe_averages(phy, ul, ur, n)
 
-    l0 = jnp.abs(vnij - cij)
-    l1 = jnp.abs(vnij)
-    l3 = jnp.abs(vnij + cij)
+    l0 = _maybe_freeze(jnp.abs(vnij - cij), frozen)
+    l1 = _maybe_freeze(jnp.abs(vnij), frozen)
+    l3 = _maybe_freeze(jnp.abs(vnij + cij), frozen)
 
     # Harten entropy fix (anumericalflux.cpp:687-697)
     delta = ROE_FIX_EPS * cij
@@ -213,8 +228,10 @@ def _einfeldt_speeds(phy, ul, ur, n):
     return vni, pi, Hi, vnj, pj, Hj, sl, sr
 
 
-def hll_flux(phy: GasPhysics, ul, ur, n):
+def hll_flux(phy: GasPhysics, ul, ur, n, frozen=False):
     vni, pi, Hi, vnj, pj, Hj, sl, sr = _einfeldt_speeds(phy, ul, ur, n)
+    sl = _maybe_freeze(sl, frozen)
+    sr = _maybe_freeze(sr, frozen)
     sr0 = jnp.minimum(sr, 0.0)
     sl0 = jnp.minimum(sl, 0.0)
     t1 = (sr0 - sl0) / (sr - sl)
@@ -240,10 +257,13 @@ def _hllc_star(u, n, vn, p, ss, sm):
     ])
 
 
-def hllc_flux(phy: GasPhysics, ul, ur, n):
+def hllc_flux(phy: GasPhysics, ul, ur, n, frozen=False):
     vni, pi, Hi, vnj, pj, Hj, sl, sr = _einfeldt_speeds(phy, ul, ur, n)
+    sl = _maybe_freeze(sl, frozen)
+    sr = _maybe_freeze(sr, frozen)
     sm = ((ur[0] * vnj * (sr - vnj) - ul[0] * vni * (sl - vni) + pi - pj)
           / (ur[0] * (sr - vnj) - ul[0] * (sl - vni)))
+    sm = _maybe_freeze(sm, frozen)
 
     fl = _dirflux(ul, n, vni, pi)
     fr = _dirflux(ur, n, vnj, pj)

@@ -79,6 +79,17 @@ class FlowFV:
                 self.ncfg.reconstruction if self.ncfg.reconstruction != "NONE"
                 else "LINEAR")
             wL, wR = recon(mesh, up, ugp, grads, self.ncfg.limiter_param)
+            # positivity safeguard: where reconstruction overshoots into
+            # negative density/pressure (possible at strong shocks even with
+            # limiters), fall back to the first-order cell value at that
+            # face side; every flux takes sqrt(p), so unphysical face states
+            # would otherwise NaN the whole residual
+            wl_cell = up[mesh.f_left]
+            wr_cell = up[mesh.f_right]
+            badL = ((wL[:, 0] <= 0.0) | (wL[:, 3] <= 0.0))[:, None]
+            badR = ((wR[:, 0] <= 0.0) | (wR[:, 3] <= 0.0))[:, None]
+            wL = jnp.where(badL, wl_cell, wL)
+            wR = jnp.where(badR, wr_cell, wR)
             uL = phy.conserved_from_primitive(wL)
             uR = phy.conserved_from_primitive(wR)
         else:

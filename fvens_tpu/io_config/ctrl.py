@@ -68,6 +68,9 @@ def _parse_info(text: str) -> dict:
     return root
 
 
+# 'consistent' in reference control files means "same flux, hand-written
+# Jacobian" - and those hand-written Jacobians freeze the wave speeds, so it
+# maps to our FROZEN linearization
 _FLUX_MAP = {"llf": "LLF", "vanleer": "VANLEER", "ausm": "AUSM",
              "ausmplus": "AUSMPLUS", "roe": "ROE", "hll": "HLL",
              "hllc": "HLLC", "consistent": "CONSISTENT"}

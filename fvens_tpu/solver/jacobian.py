@@ -42,8 +42,9 @@ def assemble_jacobian(space, mesh, u) -> BlockJacobian:
     """Diagonal blocks D (NC,4,4) and per-slot neighbour blocks N (NC,4,4,4)
     (without the pseudo-time term)."""
     phy = space.phy
-    fluxname = space.ncfg.flux_jacobian
-    if fluxname.upper() == "CONSISTENT":
+    fluxname = space.ncfg.flux_jacobian.upper()
+    frozen = fluxname == "FROZEN"
+    if fluxname in ("CONSISTENT", "FROZEN"):
         fluxname = space.ncfg.flux
     inv_flux = get_flux(fluxname)
     viscous = space.pcfg.viscous
@@ -55,7 +56,7 @@ def assemble_jacobian(space, mesh, u) -> BlockJacobian:
         uc, un = ucn[:4], ucn[4:]
         ug = bcs.ghost_state(phy, uc, n, code, v0, v1, uinf, u_partner=un)
         ur = jnp.where(code >= 0, ug, un)
-        f = inv_flux(phy, uc, ur, n)
+        f = inv_flux(phy, uc, ur, n, frozen=frozen)
         if viscous:
             grad = _thin_layer_grad(phy, uc, ur, dru, dist)
             f = f + viscous_face_flux(phy, n[None], grad[None], uc[None],

@@ -117,7 +117,7 @@ class SteadyBackwardEuler:
     checkpoint_path: Optional[str] = None     # save/resume state here
     checkpoint_every: int = 50
 
-    def _step(self, mesh, u, cfl, rtol):
+    def _step(self, mesh, u, cfl, rtol, omega_cap=1.0):
         rhs, dt = self.space.compute_residual(mesh, u, True)
         jac = self.space.assemble_jacobian(mesh, u)
         jac = jacmod.add_pseudotime_term(mesh, jac, cfl, dt)
@@ -143,8 +143,34 @@ class SteadyBackwardEuler:
 
         omega = get_update_scheme(self.nl.scheme)(
             getattr(self.space, "phy", None), u, du, self.nl.min_factor)
+        omega = jnp.minimum(omega, omega_cap)
+
+        phy = getattr(self.space, "phy", None)
+        if phy is not None and u.shape[-1] == 4:
+            # per-cell positivity line search (beyond the reference, which
+            # can accept negative-pressure states at high CFL and NaN on the
+            # next step): halve the local factor until density and pressure
+            # stay above 1% of their current values; 0 if even 1/32 fails
+            rho0 = u[:, 0]
+            p0 = phy.pressure(u)
+
+            def positive(om):
+                ut = u + (omega * om)[:, None] * du
+                return (ut[:, 0] > 0.01 * rho0) & (phy.pressure(ut)
+                                                   > 0.01 * p0)
+
+            scale = jnp.zeros_like(omega)
+            for om in (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125):
+                scale = jnp.where((scale == 0.0) & positive(om), om, scale)
+            omega = omega * scale
         unew = u + omega[:, None] * du
-        return unew, residual_norm(mesh, rhs), iters
+        # poison the reported norm if ANY residual/state component is
+        # non-finite (the energy norm alone can stay finite while momentum
+        # components are NaN, silently freezing the solve)
+        ok = (jnp.isfinite(rhs).all() & jnp.isfinite(unew).all()
+              & jnp.isfinite(relres) & jnp.isfinite(du).all())
+        res = jnp.where(ok, residual_norm(mesh, rhs), jnp.nan)
+        return unew, res, iters
 
     def solve(self, mesh, u0, log_every: int = 0) -> tuple:
         step_fn = jax.jit(partial(self._step, mesh))
@@ -172,10 +198,15 @@ class SteadyBackwardEuler:
         rtol = 0.1 if self.lin.rtol_adapt else self.lin.rtol
         rtol_floor = self.lin.rtol
         nan_retries = 0
+        omega_cap = 1.0
+        u_good = u            # last state whose residual evaluated finite
+        cfl_cap = float("inf")  # trust-region cap, shrinks on NaN failures
         while step < self.cfg.maxiter:
             if step > 0:
                 cfl = exp_residual_ramp(self.cfg.cfl_init, self.cfg.cfl_fin,
                                         cfl, resold / res, 0.25, 0.3)
+                cfl_cap = min(cfl_cap * 1.05, self.cfg.cfl_fin)
+                cfl = min(cfl, cfl_cap)
                 if self.lin.rtol_adapt:
                     # multiplicative forcing controller: residual growth or
                     # stall -> LOOSEN the Krylov tolerance (inexact solves
@@ -196,10 +227,15 @@ class SteadyBackwardEuler:
                         rtol = max(rtol * 0.3, rtol_floor)
                     # small wobble (1.0 < ratio <= 1.2): hold
             u_prev = u
-            u, resj, itersj = step_fn(u, cfl, rtol)
+            u, resj, itersj = step_fn(u, cfl, rtol, omega_cap)
             resold = res
             res = float(resj)
             info.total_lin_iters += int(itersj)
+            if np.isfinite(res):
+                # the residual was evaluated at u_prev, so u_prev is certified
+                u_good = u_prev
+                nan_retries = 0
+                omega_cap = 1.0
             if not np.isfinite(res):
                 # divergence guard (beyond the reference, which throws
                 # immediately): back off to the previous state at a much
@@ -208,13 +244,16 @@ class SteadyBackwardEuler:
                 if nan_retries > 5:
                     raise NumericalError(
                         "implicit solve diverged: residual NaN/inf")
-                u = u_prev
+                u = u_good
                 res = resold
+                # shrink the trust region: cap future CFL well below the
+                # failure level (it re-expands 5%/step on success)
+                cfl_cap = max(cfl * 0.25, 1.0)
                 cfl = max(cfl * 0.1, 1.0)
                 rtol = self.lin.rtol_max
-                rtol_floor = self.lin.rtol_max
+                omega_cap = 0.2        # heavily damped recovery steps
                 print(f"  BE: NaN residual, retrying from previous state "
-                      f"at CFL {cfl:.1f} (retry {nan_retries}/5)")
+                      f"at CFL {cfl:.1f}, omega<=0.2 (retry {nan_retries}/5)")
                 continue
             if step == 0:
                 initres = res
