@@ -77,16 +77,17 @@ def main() -> int:
 
     u = initial_state(space, mesh).astype(dtype)
     cfl = jnp.asarray(500.0, dtype)
+    rtol = jnp.asarray(0.1, dtype)
 
     # warmup (compile + 3 steps)
     for _ in range(3):
-        u, res, iters = step(u, cfl)
+        u, res, iters = step(u, cfl, rtol)
     jax.block_until_ready(u)
 
     nsteps = 20
     t0 = time.perf_counter()
     for _ in range(nsteps):
-        u, res, iters = step(u, cfl)
+        u, res, iters = step(u, cfl, rtol)
     jax.block_until_ready(u)
     dt = time.perf_counter() - t0
 
