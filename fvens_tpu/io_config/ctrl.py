@@ -142,7 +142,14 @@ def parse_control_file(path: str, mesh_file: str | None = None
         gradient=grad if grad != "NONE" else "LEASTSQUARES",
         reconstruction=_lookup(_LIM_MAP, sd.get("limiter", "none"),
                                "limiter"),
-        limiter_param=float(sd.get("limiter_parameter", 20.0)),
+        # PARITY NOTE: the reference parses 'limiter_parameter' into
+        # FlowParserOptions::limiter_param but NEVER ASSIGNS it
+        # (controlparser.cpp has no read for it), so every FVENS run uses the
+        # default-constructed value 0.0 regardless of the control file. The
+        # committed WENO regression values (regr-WENO_LeastSquares_HLLC.txt)
+        # only reproduce with lambda = 0; we mirror that here. Set
+        # NumericsConfig.limiter_param directly to honor a real value.
+        limiter_param=0.0,
         order2=grad != "NONE",
     )
 

@@ -53,3 +53,21 @@ def test_visc_cylinder_regression(refdir):
     assert abs(fnls.CL - ref[0]) < 1e-6
     assert abs(fnls.CDp - ref[1]) < 1e-6
     assert abs(fnls.CDsf - ref[2]) < 1e-6
+
+
+@pytest.mark.slow
+def test_transonic_naca0012_weno_regression(refdir):
+    """Transonic inviscid NACA0012 (M=0.8, alpha=1.25), HLLC + WENO + WLS.
+    Golden: testcases/naca0012/regr-WENO_LeastSquares_HLLC.txt. Note the
+    reference ran with its (uninitialized -> 0) WENO lambda; see the parity
+    note in io_config/ctrl.py."""
+    import dataclasses
+    cfg = parse_control_file(
+        str(refdir / "testcases/naca0012/transonic-sanity-test-weno.ctrl"))
+    cfg = dataclasses.replace(
+        cfg, main=dataclasses.replace(cfg.main, maxiter=300))
+    mesh = load_case_mesh(
+        cfg, str(refdir / "testcases/naca0012/grids/naca0012luo.msh"))
+    u, info, fnls = SteadyFlowCase(cfg).run_output(mesh)
+    assert abs(fnls.CL - 0.151870649085658) < 1e-6
+    assert abs(fnls.CDp - 0.013085625502343) < 1e-6
