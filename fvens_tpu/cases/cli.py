@@ -28,6 +28,8 @@ def main(argv=None) -> int:
     ap.add_argument("--vtu", default=None, help="write VTU solution here")
     ap.add_argument("--surface", default=None,
                     help="write wall surface data (x y Cp Cf) here")
+    ap.add_argument("--volume", default=None,
+                    help="write volume data (x y rho vx vy p T Mach) here")
     ap.add_argument("--history", default=None,
                     help="write convergence history (JSONL) here")
     ap.add_argument("--checkpoint", default=None,
@@ -86,6 +88,12 @@ def main(argv=None) -> int:
         table, _ = surface_data(space, mesh, u, cfg.wall_markers)
         np.savetxt(args.surface, table, header="x y Cp Cf")
         print(f"  wrote surface data to {args.surface}")
+
+    if args.volume:
+        from ..output import volume_data
+        np.savetxt(args.volume, volume_data(space, mesh, u),
+                   header="x y rho vx vy p T mach")
+        print(f"  wrote volume data to {args.volume}")
 
     if args.history:
         with open(args.history, "w") as f:

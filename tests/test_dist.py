@@ -83,3 +83,29 @@ def test_partition_covers_all_cells():
     counts = np.bincount(part)
     assert counts.sum() == md.nelem
     assert counts.max() <= 2 * counts.min() + 8  # roughly balanced
+
+
+def test_sharded_fe_step_matches_single_device():
+    """One explicit forward-Euler step, distributed vs single-device
+    (the full update path: residual + halo + local dt + psum norm)."""
+    ndev = len(jax.devices())
+    md = cylinder_omesh(32, 12)
+    space = make_space(order2=True)
+
+    cm = compile_mesh(md, BCS)
+    from fvens_tpu.solver.steady import SteadyForwardEuler, residual_norm
+    from fvens_tpu.config import PseudoTimeConfig
+    fe = SteadyForwardEuler(space, PseudoTimeConfig(cfl_init=0.5))
+    u0 = jnp.tile(space.uinf, (cm.NC, 1))
+    u1, res1 = fe._step(cm, u0)
+
+    bundle = partition_mesh(md, BCS, ndev)
+    sf = ShardedFlow(space=space, bundle=bundle, devices=jax.devices())
+    us = sf.initial_state()
+    step = sf.fe_step_fn(cfl=0.5)
+    us1, res_sh = step(us)
+
+    u1g = sf.gather_solution(np.asarray(us1))
+    np.testing.assert_allclose(u1g, np.asarray(u1)[: cm.n_cells],
+                               rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(float(res_sh), float(res1), rtol=1e-11)
