@@ -164,33 +164,44 @@ def make_colored_sgs(mesh, jac: BlockJacobian, Dinv, blocks,
 
 
 def gmres(matvec: Callable, b, x0, pc: Callable, restart: int = 30,
-          maxiter: int = 30, rtol: float = 1e-1):
+          maxiter: int = 30, rtol: float = 1e-1, allreduce: Callable = None,
+          axis_name: str = None):
     """Right-preconditioned restarted GMRES on (NC,V)-shaped vectors.
 
     Matches the reference's default Krylov settings (FGMRES(30), rtol 1e-1,
     testcases/defaults.solverc:12-15). Returns (x, iterations, relres).
     The flexible (FGMRES) storage of preconditioned directions Z is kept so
     iteration-dependent preconditioners remain legal.
+
+    `allreduce` (e.g. partial(jax.lax.psum, axis_name=...)) is applied to
+    every inner-product partial sum, making the same code run distributed
+    under shard_map with each rank holding its slab of the vectors.
     """
     shape = b.shape
     dtype = b.dtype
     n = b.size
     bf = b.reshape(n)
+    if axis_name is not None and allreduce is None:
+        allreduce = lambda x: jax.lax.psum(x, axis_name)
+    ar = allreduce if allreduce is not None else (lambda x: x)
+    # under shard_map, locally-created basis arrays must be marked as
+    # device-varying before entering the while_loop carry
+    pv = (lambda x: jax.lax.pvary(x, axis_name)) if axis_name else (lambda x: x)
 
     mv = lambda v: matvec(v.reshape(shape)).reshape(n)
     pcf = lambda v: pc(v.reshape(shape)).reshape(n)
 
-    bnorm = jnp.linalg.norm(bf)
+    bnorm = jnp.sqrt(ar(jnp.sum(bf * bf)))
     tol = rtol * bnorm
     m = restart
     ncycles = max(1, -(-maxiter // restart))
 
     def cycle(x, total_iters):
         r = bf - mv(x)
-        beta = jnp.linalg.norm(r)
+        beta = jnp.sqrt(ar(jnp.sum(r * r)))
 
-        V = jnp.zeros((m + 1, n), dtype)
-        Z = jnp.zeros((m, n), dtype)
+        V = pv(jnp.zeros((m + 1, n), dtype))
+        Z = pv(jnp.zeros((m, n), dtype))
         H = jnp.zeros((m + 1, m), dtype)
         cs = jnp.zeros(m, dtype)
         sn = jnp.zeros(m, dtype)
@@ -209,12 +220,12 @@ def gmres(matvec: Callable, b, x0, pc: Callable, restart: int = 30,
 
             # modified Gram-Schmidt as two dense passes (MXU-shaped)
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
-            h = (V @ w) * mask
+            h = ar(V @ w) * mask
             w = w - V.T @ h
-            h2 = (V @ w) * mask          # one re-orthogonalization pass
+            h2 = ar(V @ w) * mask        # one re-orthogonalization pass
             w = w - V.T @ h2
             h = h + h2
-            hn = jnp.linalg.norm(w)
+            hn = jnp.sqrt(ar(jnp.sum(w * w)))
             V = V.at[j + 1].set(w / jnp.maximum(hn, 1e-300))
             hcol = h.at[j + 1].set(hn)
 

@@ -109,3 +109,69 @@ def test_sharded_fe_step_matches_single_device():
     np.testing.assert_allclose(u1g, np.asarray(u1)[: cm.n_cells],
                                rtol=1e-11, atol=1e-13)
     np.testing.assert_allclose(float(res_sh), float(res1), rtol=1e-11)
+
+
+def test_sharded_implicit_step_matches_single_device():
+    """One distributed backward-Euler step vs single-device, with identical
+    linear settings (shard-local SGS differs from global SGS, so compare
+    with block-Jacobi preconditioning where both are identical up to the
+    Krylov trajectory, and use a tight linear tolerance so du converges)."""
+    ndev = len(jax.devices())
+    md = cylinder_omesh(32, 12)
+    space = make_space(order2=True)
+    from fvens_tpu.config import (LinearSolverConfig, NonlinearUpdateConfig,
+                                  PseudoTimeConfig)
+    from fvens_tpu.solver.steady import SteadyBackwardEuler
+
+    lin = LinearSolverConfig(restart=80, maxiter=80, rtol=1e-10,
+                             rtol_adapt=False, pc="bjacobi")
+    nl = NonlinearUpdateConfig(scheme="full")
+
+    cm = compile_mesh(md, BCS)
+    be = SteadyBackwardEuler(space, PseudoTimeConfig(), lin, nl)
+    u0 = jnp.tile(space.uinf, (cm.NC, 1))
+    u1, res1, it1 = be._step(cm, u0, jnp.asarray(50.0), jnp.asarray(1e-10))
+
+    bundle = partition_mesh(md, BCS, ndev)
+    sf = ShardedFlow(space=space, bundle=bundle, devices=jax.devices())
+    us = sf.initial_state()
+    step = sf.be_step_fn(lin=lin, nl=nl)
+    us1, res_sh, it_sh = step(us, 50.0, 1e-10)
+
+    np.testing.assert_allclose(float(res_sh), float(res1), rtol=1e-10)
+    u1g = sf.gather_solution(np.asarray(us1))
+    np.testing.assert_allclose(u1g, np.asarray(u1)[: cm.n_cells],
+                               rtol=1e-7, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_distributed_implicit_solve_converges():
+    """Full distributed implicit solve on 8 virtual devices reaches the same
+    entropy as the single-device solver."""
+    ndev = len(jax.devices())
+    md = cylinder_omesh(32, 12)
+    space = make_space(order2=True)
+    from fvens_tpu.config import (LinearSolverConfig, NonlinearUpdateConfig,
+                                  PseudoTimeConfig)
+    bundle = partition_mesh(md, BCS, ndev)
+    sf = ShardedFlow(space=space, bundle=bundle, devices=jax.devices())
+    u, info = sf.solve_implicit(
+        PseudoTimeConfig(cfl_init=25.0, cfl_fin=500.0, tol=1e-5, maxiter=300),
+        lin=LinearSolverConfig(restart=60, maxiter=60, rtol=1e-2,
+                               rtol_adapt=False),
+        nl=NonlinearUpdateConfig(scheme="robust_flow"))
+    assert info.converged
+    ug = sf.gather_solution(np.asarray(u))
+    # entropy error vs single-device solve of the same case
+    from fvens_tpu.solver.steady import SteadyBackwardEuler
+    from fvens_tpu.config import PseudoTimeConfig as PT
+    cm = compile_mesh(md, BCS)
+    be = SteadyBackwardEuler(
+        space, PT(cfl_init=25.0, cfl_fin=500.0, tol=1e-5, maxiter=300))
+    us, inf2 = be.solve(cm, jnp.tile(space.uinf, (cm.NC, 1)))
+    from fvens_tpu.output import entropy_error
+    e1 = entropy_error(space, cm, jnp.asarray(
+        np.concatenate([ug, np.tile(np.asarray(space.uinf),
+                                    (cm.NC - cm.n_cells, 1))])))
+    e2 = entropy_error(space, cm, us)
+    assert abs(e1 - e2) < 1e-4 * max(abs(e2), 1e-10)
