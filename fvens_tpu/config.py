@@ -119,6 +119,10 @@ class LinearSolverConfig:
     pc: str = "bcsgs"                  # none | bjacobi | bsgs | bcsgs
     pc_sweeps: int = 3                 # sweeps for iterative PCs
     matrix_free: bool = False
+    mixed_precision: bool = False      # f32 Jacobian/Krylov/preconditioner
+    #                                    around an f64 residual + update:
+    #                                    reaches 1e-10 residuals at f32-ish
+    #                                    speed on TPU (f64 is emulated)
 
 
 @dataclasses.dataclass(frozen=True)

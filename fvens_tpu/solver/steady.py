@@ -119,10 +119,26 @@ class SteadyBackwardEuler:
 
     def _step(self, mesh, u, cfl, rtol, omega_cap=1.0):
         rhs, dt = self.space.compute_residual(mesh, u, True)
-        jac = self.space.assemble_jacobian(mesh, u)
-        jac = jacmod.add_pseudotime_term(mesh, jac, cfl, dt)
 
-        pc = make_preconditioner(mesh, jac, self.lin.pc, self.lin.pc_sweeps)
+        # mixed precision: the Newton DIRECTION tolerates f32 (it is just
+        # another inexactness), while the residual/update stay f64 so the
+        # outer iteration can reach 1e-10. On TPU f64 is software-emulated,
+        # so this recovers most of the f32 step cost.
+        mixed = (self.lin.mixed_precision
+                 and u.dtype == jnp.float64)
+        if mixed:
+            lmesh = mesh.astype(jnp.float32)
+            lu = u.astype(jnp.float32)
+            lrhs = rhs.astype(jnp.float32)
+            lcfl = jnp.asarray(cfl, jnp.float32)
+            ldt = dt.astype(jnp.float32)
+        else:
+            lmesh, lu, lrhs, lcfl, ldt = mesh, u, rhs, cfl, dt
+
+        jac = self.space.assemble_jacobian(lmesh, lu)
+        jac = jacmod.add_pseudotime_term(lmesh, jac, lcfl, ldt)
+
+        pc = make_preconditioner(lmesh, jac, self.lin.pc, self.lin.pc_sweeps)
         if self.lin.matrix_free:
             diag = (mesh.area / (cfl * dt) * mesh.cell_mask)[:, None]
 
@@ -134,12 +150,14 @@ class SteadyBackwardEuler:
                     (u,), (x,))
                 return diag * x - tang
         else:
-            matvec = lambda x: bsr_matvec(mesh, jac, x)
+            matvec = lambda x: bsr_matvec(lmesh, jac, x)
 
-        du, iters, relres = gmres(matvec, rhs, jnp.zeros_like(rhs), pc,
+        du, iters, relres = gmres(matvec, lrhs, jnp.zeros_like(lrhs), pc,
                                   restart=self.lin.restart,
                                   maxiter=self.lin.maxiter,
                                   rtol=rtol)
+        if mixed:
+            du = du.astype(u.dtype)
 
         omega = get_update_scheme(self.nl.scheme)(
             getattr(self.space, "phy", None), u, du, self.nl.min_factor)
