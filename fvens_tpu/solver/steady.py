@@ -117,6 +117,17 @@ class SteadyBackwardEuler:
     checkpoint_path: Optional[str] = None     # save/resume state here
     checkpoint_every: int = 50
 
+    def _lines(self, mesh):
+        """Host-side line detection, cached per mesh (pc='bline' only)."""
+        if self.lin.pc != "bline":
+            return None
+        key = id(mesh)
+        cache = getattr(self, "_lines_cache", None)
+        if cache is None or cache[0] != key:
+            from .lines import lines_from_mesh
+            self._lines_cache = (key, lines_from_mesh(mesh))
+        return self._lines_cache[1]
+
     def _step(self, mesh, u, cfl, rtol, omega_cap=1.0):
         rhs, dt = self.space.compute_residual(mesh, u, True)
 
@@ -138,7 +149,8 @@ class SteadyBackwardEuler:
         jac = self.space.assemble_jacobian(lmesh, lu)
         jac = jacmod.add_pseudotime_term(lmesh, jac, lcfl, ldt)
 
-        pc = make_preconditioner(lmesh, jac, self.lin.pc, self.lin.pc_sweeps)
+        pc = make_preconditioner(lmesh, jac, self.lin.pc, self.lin.pc_sweeps,
+                                 lines=self._lines(mesh))
         if self.lin.matrix_free:
             diag = (mesh.area / (cfl * dt) * mesh.cell_mask)[:, None]
 
