@@ -318,6 +318,15 @@ def gmres(matvec: Callable, b, x0, pc: Callable, restart: int = 30,
     x = x0.reshape(n)
     iters = jnp.array(0)
     res = jnp.array(jnp.inf, dtype)
-    for _ in range(ncycles):
-        x, iters, res = cycle(x, iters)
+    for c in range(ncycles):
+        if c == 0:
+            x, iters, res = cycle(x, iters)
+        else:
+            # early exit: converged restarts skip the whole cycle (incl.
+            # its residual-recompute matvec) at runtime via lax.cond
+            x, iters, res = jax.lax.cond(
+                res > tol,
+                lambda carry: cycle(carry[0], carry[1]),
+                lambda carry: carry,
+                (x, iters, res))
     return x.reshape(shape), iters, res / jnp.maximum(bnorm, 1e-300)

@@ -52,64 +52,36 @@ def build_lines(mesh_np_nbrs, mesh_np_mask, rc, nfael_active,
     grown along the strongest coupling while the local max/min weight ratio
     exceeds `anisotropy_threshold` (meshordering details_lineordering.hpp).
     """
+    from ..mesh.ordering import find_lines_core
+
     n_real = int(nfael_active.shape[0])
     nbrs = mesh_np_nbrs
     mask = mesh_np_mask
 
-    def weights(c):
-        out = []
-        for k in range(4):
-            if mask[c, k] > 0:
-                nb = int(nbrs[c, k])
-                d = float(np.sqrt(((rc[c] - rc[nb]) ** 2).sum()))
-                out.append((1.0 / max(d, 1e-300), nb, k))
-        return out
+    # the same detection that passes the reference's golden-line test
+    # (tests/common-input/testanisotropic-lines.txt): seed from boundary
+    # cells first (reference behaviour), then from every remaining cell so
+    # interior anisotropic regions also form lines for the smoother
+    esuel = np.where(mask[:n_real] > 0, nbrs[:n_real], -1)
+    nfael = np.full(n_real, esuel.shape[1], dtype=np.int64)
+    bcells = np.flatnonzero((mask[:n_real] == 0).any(axis=1))
+    seeds = np.concatenate([bcells, np.arange(n_real)])
+    found, in_line = find_lines_core(esuel, nfael, rc[:n_real], seeds,
+                                     anisotropy_threshold)
+    if max_len:
+        clipped = []
+        for line in found:
+            for s in range(0, len(line), max_len):
+                clipped.append(line[s:s + max_len])
+        found = clipped
 
-    in_line = np.full(NC, -1, dtype=np.int64)
-    lines: list[list[tuple]] = []
-
-    # seeds: high-anisotropy cells first (wall cells)
-    aniso = np.zeros(n_real)
-    for c in range(n_real):
-        ws = weights(c)
-        if len(ws) >= 2:
-            wv = [w for w, _, _ in ws]
-            aniso[c] = max(wv) / min(wv)
-    order = np.argsort(-aniso)
-
-    for seed in order:
-        seed = int(seed)
-        if in_line[seed] >= 0 or aniso[seed] < anisotropy_threshold:
-            continue
-        line = [(seed, -1)]          # (cell, slot from previous cell)
-        in_line[seed] = len(lines)
-        # grow in both directions along the strongest available coupling
-        for direction in (0, 1):
-            cur = seed
-            while True:
-                cand = [(w, nb, k) for w, nb, k in weights(cur)
-                        if in_line[nb] < 0]
-                if not cand:
-                    break
-                w, nb, k = max(cand)
-                ws_all = [x[0] for x in weights(cur)]
-                if w < anisotropy_threshold * min(ws_all):
-                    break
-                if direction == 0:
-                    line.append((nb, k))
-                else:
-                    line.insert(0, (nb, -2))
-                in_line[nb] = len(lines)
-                cur = nb
-                if max_len and len(line) >= max_len:
-                    break
-        lines.append(line)
-
-    # every remaining real cell becomes a singleton line
+    lines: list[list[int]] = list(found)
+    # every remaining real cell becomes a singleton line (the smoother
+    # needs each cell in exactly one line; singletons degenerate to
+    # block-Jacobi there)
     for c in range(n_real):
         if in_line[c] < 0:
-            in_line[c] = len(lines)
-            lines.append([(c, -1)])
+            lines.append([c])
 
     NL = len(lines)
     Lmax = max(len(l) for l in lines)
@@ -129,7 +101,7 @@ def build_lines(mesh_np_nbrs, mesh_np_mask, rc, nfael_active,
         return -1
 
     for li, line in enumerate(lines):
-        cells = [c for c, _ in line]
+        cells = list(line)
         for i, c in enumerate(cells):
             line_cells[li, i] = c
             line_mask[li, i] = 1.0
