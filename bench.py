@@ -1,17 +1,28 @@
 """Benchmark entry point (run by the driver on real TPU hardware).
 
-Measures implicit pseudo-time solver throughput — cell-updates per second —
-on the flagship laminar NACA0012 viscous case (the BASELINE.md north-star:
-Roe + weighted-least-squares, implicit backward Euler, FGMRES(30) +
-multicolor block-SGS). Prints ONE JSON line:
+Measures the BASELINE.json driver metric: WALL-CLOCK TO A 1e-10 STEADY
+RESIDUAL on the laminar viscous NACA0012 case (Roe + weighted least squares,
+implicit backward Euler; testcases/visc-naca0012/laminar-implicit.ctrl), on
+one chip. Prints ONE JSON line:
 
-  {"metric": "cell_updates_per_sec", "value": N, "unit": "cells*steps/s",
-   "vs_baseline": R}
+  {"metric": "wallclock_to_1e-10_visc_naca0012", "value": S, "unit": "s",
+   "vs_baseline": R, ...}
 
-vs_baseline: ratio to BASELINE.json's target of 10x a single-socket-CPU
-FVENS run. FVENS publishes no absolute numbers (SURVEY.md sec 6), so the
-stand-in CPU rate is this framework's own single-thread-competitive CPU
-path measured on the same case (recorded below after first calibration).
+The solve cascades precision the TPU-native way: an f32-Jacobian/Krylov
+"mixed" phase does the continuation work at f32 speed (f64 residual + update
+throughout, LinearSolverConfig.mixed_precision), and a short full-f64 phase
+finishes the last orders to 1e-10 (vs the FIRST phase's initial residual).
+
+vs_baseline: (CPU_BASELINE_WALL / 10) / measured, i.e. 1.0 == exactly the
+10x-single-socket-CPU bar. FVENS publishes no absolute numbers (SURVEY.md
+sec 6, BASELINE.md), so the stand-in is this framework's own single-host CPU
+f64 run of the same solve (860 s, docs/BENCH_NOTES.md) — an imperfect proxy:
+a native C++ FVENS with OpenMP+ILU0 could be faster than our JAX-CPU
+backend, so treat the ratio as an upper bound on the true FVENS ratio.
+
+Compile time is excluded (warmup solves trigger compilation first; the
+persistent compilation cache makes reruns cheap): the C++ reference is also
+timed on a prebuilt binary, not including its build.
 """
 
 import json
@@ -19,21 +30,18 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/fvens_tpu/jax"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Estimated single-socket CPU FVENS rate for this case (cells*steps/s).
-# Calibrated from our CPU backend run of the same implicit solve on the
-# 13,156-cell NACA mesh (see docs/BENCH_NOTES.md); FVENS itself publishes no
-# numbers. The BASELINE target is 10x this.
-CPU_BASELINE_RATE = 55_928.0
+CPU_BASELINE_WALL = 860.0      # s, our CPU f64 solve of the same case
+TARGET_FACTOR = 10.0           # the BASELINE.md bar
 
 
 def main() -> int:
     import jax
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/fvens_tpu/jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from fvens_tpu.config import (BCSpec, FlowCaseConfig, LinearSolverConfig,
@@ -43,60 +51,68 @@ def main() -> int:
     from fvens_tpu.mesh import compile_mesh
     from fvens_tpu.mesh.reader import read_mesh
     from fvens_tpu.mesh.meshgen import naca0012_omesh
-    from fvens_tpu.solver.steady import SteadyBackwardEuler
-
-    dtype = jnp.float32
+    from fvens_tpu.solver.steady import (SteadyBackwardEuler, ToleranceError,
+                                         residual_norm)
 
     ref_mesh = ("/root/reference/testcases/visc-naca0012/grids/"
                 "NACA0012_lam_hybrid_1.msh")
-    if os.path.exists(ref_mesh):
-        md = read_mesh(ref_mesh)
-    else:
-        md = naca0012_omesh(160, 80)
+    md = read_mesh(ref_mesh) if os.path.exists(ref_mesh) \
+        else naca0012_omesh(160, 80)
 
-    cfg = FlowCaseConfig(
-        physics=PhysicsConfig(Minf=0.5, Reinf=5000.0, Tinf=288.15,
-                              viscous=True),
-        numerics=NumericsConfig(flux="ROE", gradient="LEASTSQUARES",
-                                reconstruction="LINEAR", order2=True),
-        bcs=[BCSpec(marker=2, type="adiabaticwall", values=(0.0,)),
-             BCSpec(marker=4, type="inflowoutflow")],
-        linear=LinearSolverConfig(restart=30, maxiter=30, rtol=1e-1,
-                                  pc="bcsgs", pc_sweeps=1),
-        nl_update=NonlinearUpdateConfig(scheme="full"),
-    )
-    mesh = compile_mesh(md, cfg.bcs, dtype=dtype)
+    pcfg = PhysicsConfig(Minf=0.5, Reinf=5000.0, Tinf=288.15, viscous=True)
+    ncfg = NumericsConfig(flux="ROE", gradient="LEASTSQUARES",
+                          reconstruction="LINEAR", order2=True)
+    bcs = [BCSpec(marker=2, type="adiabaticwall", values=(0.0,)),
+           BCSpec(marker=4, type="inflowoutflow")]
+    cfg = FlowCaseConfig(physics=pcfg, numerics=ncfg, bcs=bcs)
+    mesh = compile_mesh(md, bcs, dtype=jnp.float64)
     space = build_space(cfg)
-    solver = SteadyBackwardEuler(
-        space, PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0, tol=0.0,
-                                maxiter=10**9),
-        cfg.linear, cfg.nl_update)
+    nl = NonlinearUpdateConfig("full")
 
-    import functools
-    step = jax.jit(functools.partial(solver._step, mesh))
+    def solver(mixed, tol, maxiter):
+        lin = LinearSolverConfig(restart=90, maxiter=90, rtol=1e-2,
+                                 pc="bcsgs", pc_sweeps=3,
+                                 mixed_precision=mixed)
+        pt = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0, tol=tol,
+                              maxiter=maxiter)
+        return SteadyBackwardEuler(space, pt, lin, nl)
 
-    u = initial_state(space, mesh).astype(dtype)
-    cfl = jnp.asarray(500.0, dtype)
-    rtol = jnp.asarray(0.1, dtype)
+    def cascade(report=False):
+        """mixed phase to 3e-7, f64 tail to 1e-10 (vs the mixed phase's
+        initial residual). Returns (u, steps, lin_iters)."""
+        u0 = initial_state(space, mesh).astype(jnp.float64)
+        u, info1 = solver(True, 3e-7, 600).solve(mesh, u0)
+        # rebase the f64 tail target onto the original initres
+        rhs, _ = space.compute_residual(mesh, u, True)
+        r2 = float(residual_norm(mesh, rhs))
+        tol2 = 1e-10 * info1.initres / r2
+        u, info2 = solver(False, tol2, 300).solve(mesh, u)
+        return u, info1.steps + info2.steps, \
+            info1.total_lin_iters + info2.total_lin_iters
 
-    # warmup (compile + 3 steps)
-    for _ in range(3):
-        u, res, iters = step(u, cfl, rtol)
-    jax.block_until_ready(u)
+    # warmup: compile both phases' step programs (not measured)
+    try:
+        cascade()
+    except ToleranceError:
+        pass
 
-    nsteps = 20
     t0 = time.perf_counter()
-    for _ in range(nsteps):
-        u, res, iters = step(u, cfl, rtol)
+    u, steps, lin_iters = cascade()
     jax.block_until_ready(u)
-    dt = time.perf_counter() - t0
+    wall = time.perf_counter() - t0
 
-    rate = mesh.n_cells * nsteps / dt
+    # secondary: implicit-step throughput during the measured solve
+    rate = mesh.n_cells * steps / wall
+
     print(json.dumps({
-        "metric": "cell_updates_per_sec",
-        "value": rate,
-        "unit": "cells*steps/s",
-        "vs_baseline": rate / (10.0 * CPU_BASELINE_RATE),
+        "metric": "wallclock_to_1e-10_visc_naca0012",
+        "value": wall,
+        "unit": "s",
+        "vs_baseline": (CPU_BASELINE_WALL / TARGET_FACTOR) / wall,
+        "steps": steps,
+        "lin_iters": lin_iters,
+        "cells": mesh.n_cells,
+        "cell_updates_per_sec": rate,
     }))
     return 0
 

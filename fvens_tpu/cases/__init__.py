@@ -1,3 +1,5 @@
-from .casesolvers import SteadyFlowCase, initial_state, build_space
+from .casesolvers import (DistributedFlowCase, SteadyFlowCase,
+                          UnsteadyFlowCase, build_space, initial_state)
 
-__all__ = ["SteadyFlowCase", "initial_state", "build_space"]
+__all__ = ["SteadyFlowCase", "UnsteadyFlowCase", "DistributedFlowCase",
+           "initial_state", "build_space"]

@@ -11,7 +11,6 @@ write functionals, surface data and VTU output.
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
 
@@ -37,6 +36,9 @@ def main(argv=None) -> int:
     ap.add_argument("--mesh_reorder", default="none",
                     choices=["none", "rcm", "line", "line_rcm"],
                     help="cell reordering (reference -mesh_reorder)")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="run domain-decomposed over N devices (the "
+                         "reference's mpirun -n N; 0 = single device)")
     ap.add_argument("--log_every", type=int, default=10)
     args = ap.parse_args(argv)
 
@@ -71,9 +73,31 @@ def main(argv=None) -> int:
     print(f"fvens_tpu: mesh {cfg.mesh_file}: {mesh.n_cells} cells, "
           f"{mesh.n_bfaces} boundary faces, {mesh.n_faces} faces")
 
-    case = SteadyFlowCase(cfg)
+    # live step monitor (+ streamed JSONL history if --history given):
+    # SteadyStepMonitor / log_file_prefix parity (aodesolver.cpp:541-558)
+    from ..io_config.logs import ConvergenceLogger
+    logger = ConvergenceLogger(path=args.history,
+                               print_every=args.log_every, label="main")
     t0 = time.perf_counter()
-    u, info, fnls = case.run_output(mesh, log_every=args.log_every)
+    try:
+        if cfg.sim_type == "unsteady":
+            # ctrl-driven physical-time run (reference casesolvers.cpp:
+            # 424-444); writes the state at final_time
+            from .casesolvers import UnsteadyFlowCase
+            u, info, fnls = UnsteadyFlowCase(cfg).run_output(mesh)
+            print(f"fvens_tpu: unsteady TVDRK{cfg.time_order} to "
+                  f"t={cfg.final_time} in {info.steps} steps")
+        elif args.devices:
+            from .casesolvers import DistributedFlowCase
+            dcase = DistributedFlowCase(cfg, n_devices=args.devices)
+            u, info, fnls = dcase.run_output(md, log_every=args.log_every,
+                                             logger=logger)
+        else:
+            case = SteadyFlowCase(cfg)
+            u, info, fnls = case.run_output(mesh, log_every=args.log_every,
+                                            logger=logger)
+    finally:
+        logger.close()
     wall = time.perf_counter() - t0
 
     print(f"fvens_tpu: solved in {info.steps} steps, "
@@ -94,12 +118,6 @@ def main(argv=None) -> int:
         np.savetxt(args.volume, volume_data(space, mesh, u),
                    header="x y rho vx vy p T mach")
         print(f"  wrote volume data to {args.volume}")
-
-    if args.history:
-        with open(args.history, "w") as f:
-            for (step, relres, absres, cfl) in info.history:
-                f.write(json.dumps({"step": step, "relres": relres,
-                                    "absres": absres, "cfl": cfl}) + "\n")
 
     if args.vtu:
         phy = space.phy

@@ -101,6 +101,13 @@ class PseudoTimeConfig:
     maxiter: int = 500
     stepping: str = "implicit"         # implicit | explicit
     use_local_dt: bool = True
+    blowup_relres: float = 1e5         # residual growth beyond this factor
+    #                                    over the initial residual counts as
+    #                                    numerical blowup: the implicit solver
+    #                                    restarts from its best-seen state at
+    #                                    reduced CFL (shock-phase trust
+    #                                    region, beyond the reference which
+    #                                    throws only on NaN)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -147,3 +154,9 @@ class FlowCaseConfig:
     mesh_file: str = ""
     checkpoint_path: str = ""          # main-solve checkpoint/resume file
     checkpoint_every: int = 50
+    # unsteady (time { simulation_type unsteady }, controlparser.cpp:165-177)
+    sim_type: str = "steady"           # steady | unsteady
+    final_time: float = 0.0
+    time_integrator: str = "TVDRK"     # the reference implements TVDRK only
+    time_order: int = 3                # TVDRK stage order (1/2/3)
+    phy_cfl: float = 0.5               # physical CFL for TVDRK

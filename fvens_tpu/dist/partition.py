@@ -39,12 +39,28 @@ from ..mesh.topology import build_topology, compute_periodic_map
 
 @dataclasses.dataclass(frozen=True)
 class ShardedMeshBundle:
-    """Stacked per-part mesh + exchange maps. All arrays lead with D."""
+    """Stacked per-part mesh + exchange maps. All arrays lead with D.
+
+    Two halo-exchange encodings are carried:
+      - neighbour ppermute schedule (pp_*): R rounds of point-to-point
+        sends, each round a partial permutation over the device axis —
+        per-device traffic is O(its own partition boundary), the SPMD
+        mapping of the reference's L2TraceVector Isend/Irecv pairs
+        (src/linalg/tracevector.cpp:214-320). This is the default path.
+      - all_gather maps (send_idx/halo_slots/halo_src): every device
+        receives every other's packed buffer; O(D * max_send) per device.
+        Kept for A/B validation and as a fallback.
+    """
     mesh: CompiledMesh            # every array field stacked: (D, ...)
     send_idx: jnp.ndarray         # (D, max_send) local cell ids to pack
     halo_slots: jnp.ndarray       # (D, max_halo) local cell slots to fill
     halo_src: jnp.ndarray         # (D, max_halo) index into the flattened
     #                               all-gathered buffer (D*max_send)
+    pp_send: jnp.ndarray          # (D, R, max_pair) local cells to pack for
+    #                               round r (pad 0; receiver drops them)
+    pp_recv: jnp.ndarray          # (D, R, max_pair) local slots to fill in
+    #                               round r (pad NC_local -> dropped)
+    pp_perms: tuple               # R static ppermute (src, dst) pair lists
     own_counts: jnp.ndarray       # (D,) number of owned cells per part
     own_gid: jnp.ndarray          # (D, NC_local) local slot -> global cell id
     n_parts: int
@@ -148,6 +164,7 @@ def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
     own_gid = np.full((nparts, NCl), -1, np.int64)   # local slot -> global id
 
     fields = []
+    g2l_list = []
     for p in range(nparts):
         own, halo, fsel_b, fsel_i = per_part[p]
         own_counts[p] = own.size
@@ -168,6 +185,7 @@ def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
 
         g2l_vec = np.full(nelem, -1, np.int64)
         g2l_vec[allc] = np.arange(n_loc)
+        g2l_list.append(g2l_vec)
 
         f_left = np.where(valid_f, g2l_vec[fc[gsafe, 0]], 0).astype(np.int32)
         fr_loc = g2l_vec[fr[gsafe]]
@@ -296,7 +314,7 @@ def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
             slot_stack[p, i] = own.size + i
             owner = int(part[c])
             src_stack[p, i] = owner * max_send + send_pos[(owner, int(c))]
-        slot_stack[p, halo.size:] = NCl - 1
+        slot_stack[p, halo.size:] = NCl    # out of bounds -> dropped
         src_stack[p, halo.size:] = 0
 
         fields.append(dict(
@@ -338,9 +356,66 @@ def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
                         n_ifaces=NFl - max_nbf, NC=NCl, NF=NFl,
                         n_colors=n_colors, **stack)
 
+    pp_send, pp_recv, pp_perms = _neighbor_schedule(
+        per_part, part, g2l_list, nparts, NCl)
+
     return ShardedMeshBundle(
         mesh=mesh, send_idx=jnp.asarray(send_stack),
         halo_slots=jnp.asarray(slot_stack), halo_src=jnp.asarray(src_stack),
+        pp_send=jnp.asarray(pp_send), pp_recv=jnp.asarray(pp_recv),
+        pp_perms=pp_perms,
         own_counts=jnp.asarray(own_counts), own_gid=jnp.asarray(own_gid),
         n_parts=nparts, n_cells_global=nelem, max_send=max_send,
         max_halo=max_halo)
+
+
+def _neighbor_schedule(per_part, part, g2l_list, nparts: int, NCl: int):
+    """Point-to-point halo schedule: rounds of partial permutations.
+
+    The directed neighbour graph (p -> q whenever q's halo contains cells
+    owned by p) is greedily edge-coloured so each colour class ("round")
+    has every device sending to at most one peer and receiving from at most
+    one — exactly a lax.ppermute. R = chromatic index ~= max neighbour
+    degree, independent of D; per-device traffic per matvec is
+    O(its own partition boundary) instead of the all_gather's
+    O(D * max_send). Replaces L2TraceVector's Isend/Irecv pairing
+    (reference src/linalg/tracevector.cpp:214-320).
+    """
+    edges = []  # (src part, dst part, global cell ids ascending)
+    for q in range(nparts):
+        halo = per_part[q][1]
+        if halo.size == 0:
+            continue
+        owners = part[halo]
+        for p in np.unique(owners):
+            edges.append((int(p), q, halo[owners == p]))
+
+    rounds: list[list[int]] = []
+    src_used: list[set] = []
+    dst_used: list[set] = []
+    for e, (p, q, _) in enumerate(edges):
+        for r in range(len(rounds)):
+            if p not in src_used[r] and q not in dst_used[r]:
+                rounds[r].append(e)
+                src_used[r].add(p)
+                dst_used[r].add(q)
+                break
+        else:
+            rounds.append([e])
+            src_used.append({p})
+            dst_used.append({q})
+
+    R = max(1, len(rounds))
+    max_pair = max([1] + [len(c) for _, _, c in edges])
+    pp_send = np.zeros((nparts, R, max_pair), np.int32)
+    pp_recv = np.full((nparts, R, max_pair), NCl, np.int32)  # pad: dropped
+    perms = []
+    for r in range(R):
+        pairs = []
+        for e in (rounds[r] if r < len(rounds) else []):
+            p, q, cells = edges[e]
+            pairs.append((p, q))
+            pp_send[p, r, :cells.size] = g2l_list[p][cells]
+            pp_recv[q, r, :cells.size] = g2l_list[q][cells]
+        perms.append(tuple(pairs))
+    return pp_send, pp_recv, tuple(perms)

@@ -29,15 +29,33 @@ AXIS = "mesh_x"
 
 
 def halo_exchange(bundle_local, field, axis=AXIS):
-    """Fill halo cell slots of `field` (NC_local, V) from remote owners.
+    """Fill halo cell slots of `field` (NC_local, ...) from remote owners
+    via R rounds of neighbour ppermute (each round a partial permutation
+    over the device axis; see partition._neighbor_schedule). Per-device
+    traffic is O(local partition boundary), not O(D).
 
-    bundle_local: the per-device slice of (send_idx, halo_slots, halo_src).
+    bundle_local: (pp_send, pp_recv) per-device slices + static pp_perms.
     """
+    pp_send, pp_recv, perms = bundle_local
+    for r, perm in enumerate(perms):
+        if not perm:
+            continue
+        buf = field[pp_send[r]]                     # (max_pair, ...)
+        rbuf = jax.lax.ppermute(buf, axis, perm)
+        field = field.at[pp_recv[r]].set(rbuf, mode="drop")
+    return field
+
+
+def halo_exchange_allgather(bundle_local, field, axis=AXIS):
+    """All-gather halo variant (kept for A/B validation of the ppermute
+    schedule and as a fallback): every device receives every other's packed
+    send buffer."""
     send_idx, halo_slots, halo_src = bundle_local
     buf = field[send_idx]                               # (max_send, V)
     allbuf = jax.lax.all_gather(buf, axis)              # (D, max_send, V)
     flat = allbuf.reshape((-1,) + field.shape[1:])
-    return field.at[halo_slots].set(flat[halo_src])
+    # pad slots are NC_local (out of bounds): dropped, not written
+    return field.at[halo_slots].set(flat[halo_src], mode="drop")
 
 
 @dataclasses.dataclass
@@ -56,88 +74,46 @@ class ShardedFlow:
 
     # ---- sharded primitives ------------------------------------------------
     def _local_residual(self, mesh_loc, exch, u_loc, gettimesteps=True):
-        """One device's residual with halo exchanges threaded in."""
+        """One device's residual = the single-chip pipeline with the halo
+        hook threaded in (FlowFV.compute_residual(exchange=...)): u is
+        exchanged up front, gradients are re-exchanged inside face_states
+        (the reference's VecGhostUpdate on gradvec,
+        flow_spatial.cpp:710-729)."""
         u_loc = halo_exchange(exch, u_loc)
-        space = self.space
-        if space.ncfg.order2:
-            # exchange gradients too (reference VecGhostUpdate on gradvec,
-            # flow_spatial.cpp:710-717/725-729). We recompute the pipeline
-            # with an exchanged-gradient hook rather than reusing
-            # space.face_states, to keep the single-chip path hook-free.
-            from ..fv import bcs as bcmod
-            from ..fv.reconstruction import get_reconstruction
-            phy = space.phy
-            nb = mesh_loc.n_bfaces
-            ug_cell = bcmod.compute_ghost_states(phy, mesh_loc, u_loc,
-                                                 space.uinf)
-            up = phy.primitive_from_conserved(u_loc)
-            ugp = phy.primitive_from_conserved(ug_cell)
-            grads = space.gradients(mesh_loc, up, ugp)
-            grads = halo_exchange(exch, grads)
-            recon = get_reconstruction(
-                space.ncfg.reconstruction
-                if space.ncfg.reconstruction != "NONE" else "LINEAR")
-            wL, wR = recon(mesh_loc, up, ugp, grads, space.ncfg.limiter_param)
-            uL = phy.conserved_from_primitive(wL)
-            uR = phy.conserved_from_primitive(wR)
-            ug_flux = bcmod.ghost_state(
-                phy, uL[:nb], mesh_loc.f_normal[:nb], mesh_loc.bc_code,
-                mesh_loc.bc_v0, mesh_loc.bc_v1, space.uinf,
-                u_partner=u_loc[mesh_loc.f_right[:nb]])
-            uR = uR.at[:nb].set(ug_flux)
+        ex = partial(halo_exchange, exch)
+        rhs, dt = self.space.compute_residual(
+            mesh_loc, u_loc, gettimesteps, exchange=ex)
+        return u_loc, rhs, dt
 
-            flux = space._inviscid_face_flux(uL, uR, mesh_loc.f_normal)
-            if space.pcfg.viscous:
-                from ..fv.viscous import (modified_average_gradient,
-                                          prim2_states_and_gradients,
-                                          viscous_face_flux)
-                ucl = u_loc[mesh_loc.f_left]
-                ucr = u_loc[mesh_loc.f_right].at[:nb].set(ug_cell)
-                gl = grads[mesh_loc.f_left]
-                gr_ = grads[mesh_loc.f_right].at[:nb].set(
-                    grads[mesh_loc.f_left[:nb]])
-                wtl, wtr, gtl, gtr = prim2_states_and_gradients(
-                    phy, ucl, ucr, gl, gr_, True)
-                fgrad = modified_average_gradient(
-                    mesh_loc.f_dr_unit, mesh_loc.f_dist, wtl, wtr, gtl, gtr)
-                flux = flux + viscous_face_flux(
-                    phy, mesh_loc.f_normal, fgrad, uL, uR,
-                    space.pcfg.const_visc)
-            fluxlen = flux * mesh_loc.f_len[:, None]
-            g = fluxlen[mesh_loc.cell_faces]
-            rhs = -(mesh_loc.cell_fsign[..., None] * g).sum(axis=1)
-            rhs = rhs * mesh_loc.cell_mask[:, None]
-            dt = space.compute_timesteps(mesh_loc, uL, uR) \
-                if gettimesteps else None
-            return u_loc, rhs, dt
-        else:
-            rhs, dt = space.compute_residual(mesh_loc, u_loc, gettimesteps)
-            return u_loc, rhs, dt
+    def _exch(self, pps, ppr):
+        """Per-device exchange context from shard_map operands (leading
+        device axis already sliced to 1)."""
+        return (pps[0], ppr[0], self.bundle.pp_perms)
 
     def residual(self, u):
         """Global sharded residual: u (D, NC_local, V)."""
         b = self.bundle
 
-        def body(mesh_st, si, hs, hsrc, u_loc):
+        def body(mesh_st, pps, ppr, u_loc):
             mesh_loc = jax.tree_util.tree_map(lambda x: x[0], mesh_st)
             _, rhs, dt = self._local_residual(
-                mesh_loc, (si[0], hs[0], hsrc[0]), u_loc[0])
+                mesh_loc, self._exch(pps, ppr), u_loc[0])
             return rhs[None], dt[None]
 
         return jax.shard_map(
             body, mesh=self.jmesh,
-            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
             out_specs=(P(AXIS), P(AXIS)),
-        )(b.mesh, b.send_idx, b.halo_slots, b.halo_src, u)
+        )(b.mesh, b.pp_send, b.pp_recv, u)
 
     def fe_step_fn(self, cfl: float):
         """Jittable explicit forward-Euler step over the device mesh:
         returns (u', global residual norm)."""
         b = self.bundle
 
-        def body(mesh_st, si, hs, hsrc, u_loc):
+        def body(mesh_st, pps, ppr, u_loc):
             mesh_loc = jax.tree_util.tree_map(lambda x: x[0], mesh_st)
-            exch = (si[0], hs[0], hsrc[0])
+            exch = self._exch(pps, ppr)
             u1, rhs, dt = self._local_residual(mesh_loc, exch, u_loc[0])
             unew = u1 + (cfl * dt * mesh_loc.inv_area)[:, None] * rhs
             r = rhs[:, -1]
@@ -148,9 +124,9 @@ class ShardedFlow:
         def step(u):
             return jax.shard_map(
                 body, mesh=self.jmesh,
-                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
                 out_specs=(P(AXIS), P()),
-            )(b.mesh, b.send_idx, b.halo_slots, b.halo_src, u)
+            )(b.mesh, b.pp_send, b.pp_recv, u)
 
         return jax.jit(step)
 
@@ -176,9 +152,9 @@ class ShardedFlow:
         b = self.bundle
         space = self.space
 
-        def body(mesh_st, si, hs, hsrc, u_sh, cfl, rtol):
+        def body(mesh_st, pps, ppr, u_sh, cfl, rtol):
             mesh_loc = jax.tree_util.tree_map(lambda x: x[0], mesh_st)
-            exch = (si[0], hs[0], hsrc[0])
+            exch = self._exch(pps, ppr)
             mask = mesh_loc.cell_mask[:, None]
 
             u_loc, rhs, dt = self._local_residual(mesh_loc, exch, u_sh[0])
@@ -213,33 +189,44 @@ class ShardedFlow:
         def step(u, cfl, rtol):
             return jax.shard_map(
                 body, mesh=self.jmesh,
-                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                          P(), P()),
+                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
                 out_specs=(P(AXIS), P(), P()),
-            )(b.mesh, b.send_idx, b.halo_slots, b.halo_src, u,
+            )(b.mesh, b.pp_send, b.pp_recv, u,
               jnp.asarray(cfl), jnp.asarray(rtol))
 
         return jax.jit(step)
 
     def solve_implicit(self, cfg, lin=None, nl=None, u=None,
-                       log_every: int = 0):
+                       log_every: int = 0, logger=None):
         """Distributed steady implicit solve (host-side CFL/forcing control,
         device-side distributed steps). cfg: PseudoTimeConfig."""
         import numpy as np
+        from ..config import LinearSolverConfig
         from ..solver.steady import (NumericalError, SolveInfo,
                                      ToleranceError, exp_residual_ramp)
+        lin = lin or LinearSolverConfig()
         step = self.be_step_fn(lin=lin, nl=nl)
         if u is None:
             u = self.initial_state()
+        if logger is None and log_every:
+            from ..io_config.logs import ConvergenceLogger
+            logger = ConvergenceLogger(print_every=log_every, label="dBE")
         info = SolveInfo()
         res = resold = initres = 1.0
         cfl = cfg.cfl_init
+        rtol = 0.1 if lin.rtol_adapt else lin.rtol
         stepn = 0
         while stepn < cfg.maxiter:
             if stepn > 0:
                 cfl = exp_residual_ramp(cfg.cfl_init, cfg.cfl_fin, cfl,
                                         resold / res, 0.25, 0.3)
-            u, resj, iters = step(u, cfl, 0.1)
+                if lin.rtol_adapt:
+                    ratio = res / resold
+                    if ratio > 1.2:
+                        rtol = min(rtol * 2.0, lin.rtol_max)
+                    elif ratio <= 1.0:
+                        rtol = max(rtol * 0.3, lin.rtol)
+            u, resj, iters = step(u, cfl, rtol)
             resold = res
             res = float(resj)
             info.total_lin_iters += int(iters)
@@ -249,8 +236,10 @@ class ShardedFlow:
                 initres = res
                 resold = res
             stepn += 1
-            if log_every and (stepn - 1) % log_every == 0:
-                print(f"  dBE step {stepn}: relres {res/initres:.3e}")
+            info.history.append((stepn, res / initres, res, cfl))
+            if logger:
+                logger.log(stepn, res / initres, res,
+                           lin_iters=int(iters), cfl=cfl)
             if res / initres <= cfg.tol:
                 break
         info.steps = stepn

@@ -38,11 +38,12 @@ def linear_reconstruction(mesh, w, wg, grads, limiter_param=0.0):
     return wL, wR
 
 
-def weno_reconstruction(mesh, w, wg, grads, limiter_param=20.0):
-    """WENO over the compact stencil {cell u face-neighbours}
-    (limitedlinearreconstruction.cpp:50-105): weights
-    w_k = lambda_k / (|grad|^2 + eps)^gamma with lambda = limiter_param for
-    the central stencil and 1 for neighbours; ghost neighbours are skipped."""
+def weno_limited_gradients(mesh, grads, limiter_param=20.0):
+    """Per-cell WENO-weighted gradient over the compact stencil
+    {cell u face-neighbours} (limitedlinearreconstruction.cpp:50-105):
+    weights w_k = lambda_k / (|grad|^2 + eps)^gamma with lambda =
+    limiter_param for the central stencil and 1 for neighbours; ghost
+    neighbours are skipped."""
     lam = limiter_param
     gmag2 = (grads ** 2).sum(axis=1)                        # (NC,V)
     wc = lam / (gmag2 + WENO_EPS) ** WENO_GAMMA             # central weight
@@ -53,9 +54,12 @@ def weno_reconstruction(mesh, w, wg, grads, limiter_param=20.0):
     wn = mesh.nbr_mask[..., None] / (gn_mag2 + WENO_EPS) ** WENO_GAMMA
 
     wsum = wc + wn.sum(axis=1)                              # (NC,V)
-    lgrad = (wc[:, None, :] * grads
-             + (wn[:, :, None, :] * gn).sum(axis=1)) / wsum[:, None, :]
+    return (wc[:, None, :] * grads
+            + (wn[:, :, None, :] * gn).sum(axis=1)) / wsum[:, None, :]
 
+
+def weno_reconstruction(mesh, w, wg, grads, limiter_param=20.0):
+    lgrad = weno_limited_gradients(mesh, grads, limiter_param)
     wL = _extrapolate(w, lgrad, mesh.f_left, mesh.f_mid, mesh.rc)
     wR = _extrapolate(w, lgrad, mesh.f_right, mesh.f_rpoint, mesh.rc)
     return wL, wR
@@ -156,6 +160,36 @@ def muscl_vanalbada_reconstruction(mesh, w, wg, grads, limiter_param=0.0):
                             + (1.0 + MUSCL_K * phil) * duij)
     wR = uj - phir / 4.0 * ((1.0 - MUSCL_K * phir) * deltap
                             + (1.0 + MUSCL_K * phir) * duij)
+    return wL, wR
+
+
+def cell_limited_gradients(mesh, w, wg, grads, name: str, limiter_param):
+    """Per-cell effective reconstruction gradient for cell-based schemes;
+    None for the face-based MUSCL-VanAlbada.
+
+    This is the quantity to halo-exchange under domain decomposition: a
+    halo cell's neighbour stencil is incomplete on the borrowing shard, so
+    its limited gradient must be computed by (and fetched from) the owner —
+    the same reason the reference ghost-updates gradvec
+    (flow_spatial.cpp:710-729) before reconstruction."""
+    n = name.upper()
+    if n in ("NONE", "LINEAR"):
+        return grads
+    if n == "WENO":
+        return weno_limited_gradients(mesh, grads, limiter_param)
+    if n == "BARTHJESPERSEN":
+        return grads * barth_jespersen_limiter(mesh, w, wg, grads)[:, None, :]
+    if n == "VENKATAKRISHNAN":
+        return grads * venkatakrishnan_limiter(
+            mesh, w, wg, grads, limiter_param)[:, None, :]
+    return None
+
+
+def extrapolate_faces(mesh, w, lgrad):
+    """Face states from per-cell effective gradients (the shared tail of all
+    cell-based reconstructions)."""
+    wL = _extrapolate(w, lgrad, mesh.f_left, mesh.f_mid, mesh.rc)
+    wR = _extrapolate(w, lgrad, mesh.f_right, mesh.f_rpoint, mesh.rc)
     return wL, wR
 
 

@@ -26,7 +26,8 @@ from ..physics.gas import GasPhysics
 from . import bcs
 from .fluxes import get_flux
 from .gradients import get_gradient_scheme
-from .reconstruction import get_reconstruction
+from .reconstruction import (cell_limited_gradients, extrapolate_faces,
+                             get_reconstruction)
 from .viscous import (modified_average_gradient, prim2_states_and_gradients,
                       viscous_face_flux)
 
@@ -61,11 +62,19 @@ class FlowFV:
         return jax.vmap(lambda a, b, n: f(self.phy, a, b, n))(uL, uR, normals)
 
     # -- face states ------------------------------------------------------------
-    def face_states(self, mesh, u):
+    def face_states(self, mesh, u, exchange=None):
         """Returns (uL, uR, ug_cell, grads) with uL/uR (NF,4) conserved face
         states (flux-ready, incl. boundary ghosts on the right), ug_cell
         (NB,4) the conserved boundary ghost CELL states, and grads (NC,2,4)
-        primitive gradients (zeros for first order)."""
+        primitive gradients (zeros for first order).
+
+        `exchange`, when given, is a halo-exchange hook `(NC,...) -> (NC,...)`
+        filling this shard's halo cell slots from their remote owners. It is
+        applied to the cell gradients (the reference's VecGhostUpdate on
+        gradvec, flow_spatial.cpp:710-729); `u` itself must arrive already
+        exchanged. This keeps the distributed residual (dist/shard.py) on
+        the exact single-chip pipeline instead of a parallel fork.
+        """
         nb = mesh.n_bfaces
         phy = self.phy
 
@@ -75,10 +84,25 @@ class FlowFV:
             ugp = phy.primitive_from_conserved(ug_cell)     # (NB,4)
 
             grads = self.gradients(mesh, up, ugp)
-            recon = get_reconstruction(
-                self.ncfg.reconstruction if self.ncfg.reconstruction != "NONE"
-                else "LINEAR")
-            wL, wR = recon(mesh, up, ugp, grads, self.ncfg.limiter_param)
+            if exchange is not None:
+                # halo cells' gradients computed locally are wrong (their
+                # stencils are incomplete); overwrite from the owning shard
+                grads = exchange(grads)
+            rname = (self.ncfg.reconstruction
+                     if self.ncfg.reconstruction != "NONE" else "LINEAR")
+            lgrad = cell_limited_gradients(mesh, up, ugp, grads, rname,
+                                           self.ncfg.limiter_param)
+            if lgrad is not None:
+                if exchange is not None and rname not in ("LINEAR",):
+                    # limiter/WENO weights also read neighbour stencils:
+                    # halo cells' limited gradients must come from the owner
+                    lgrad = exchange(lgrad)
+                wL, wR = extrapolate_faces(mesh, up, lgrad)
+            else:
+                # face-based reconstruction (MUSCL-VanAlbada): needs only
+                # the two adjacent cells' grads, which are exchanged above
+                recon = get_reconstruction(rname)
+                wL, wR = recon(mesh, up, ugp, grads, self.ncfg.limiter_param)
             # positivity safeguard: where reconstruction overshoots into
             # negative density/pressure (possible at strong shocks even with
             # limiters), fall back to the first-order cell value at that
@@ -115,12 +139,17 @@ class FlowFV:
         return uL, uR, ug_cell, grads
 
     # -- the residual -----------------------------------------------------------
-    def compute_residual(self, mesh, u, gettimesteps: bool = True):
-        """rhs (NC,4) = - sum_faces flux*len (signed); dt (NC,) local steps."""
+    def compute_residual(self, mesh, u, gettimesteps: bool = True,
+                         exchange=None):
+        """rhs (NC,4) = - sum_faces flux*len (signed); dt (NC,) local steps.
+
+        `exchange` is the optional halo hook forwarded to face_states; the
+        distributed executor (dist/shard.py) passes it so multi-chip runs
+        the exact single-chip pipeline."""
         nb = mesh.n_bfaces
         phy = self.phy
 
-        uL, uR, ug_cell, grads = self.face_states(mesh, u)
+        uL, uR, ug_cell, grads = self.face_states(mesh, u, exchange=exchange)
 
         flux = self._inviscid_face_flux(uL, uR, mesh.f_normal)   # (NF,4)
 

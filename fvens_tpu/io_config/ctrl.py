@@ -178,7 +178,19 @@ def parse_control_file(path: str, mesh_file: str | None = None
     io = tree.get("io", {})
     mf = mesh_file or io.get("mesh_file", "")
 
+    # time section (controlparser.cpp:165-177): unsteady runs carry the
+    # physical-time integrator settings
+    tm = tree.get("time", {})
+    sim_type = str(tm.get("simulation_type", "steady")).lower()
+    final_time = float(tm.get("final_time", 0.0))
+    time_integrator = str(tm.get("time_integrator", "TVDRK")).upper()
+    time_order = int(tm.get("temporal_order", 3))
+    phy_cfl = float(tm.get("physical_cfl", 0.5))
+
     return FlowCaseConfig(physics=physics, numerics=numerics, bcs=bclist,
                           main=main, init=init, linear=LinearSolverConfig(),
                           nl_update=nl, wall_markers=wall_markers,
-                          mesh_file=mf)
+                          mesh_file=mf, sim_type=sim_type,
+                          final_time=final_time,
+                          time_integrator=time_integrator,
+                          time_order=time_order, phy_cfl=phy_cfl)

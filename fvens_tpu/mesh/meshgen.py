@@ -169,6 +169,30 @@ def flatplate(level: int = 0, ref: int = 2, wall_marker: int = 2,
     return md
 
 
+def gaussian_channel(nx: int = 40, ny: int = 16, tri: bool = True,
+                     wall_marker: int = 2, in_marker: int = 3,
+                     out_marker: int = 4) -> MeshData:
+    """Channel with a Gaussian bump on the lower wall, mirroring the
+    reference's tests/inv-gaussianbump/gaussian_channel.geo: x in [-1, 1],
+    bump y = 0.02 exp(-100 x^2), flat top at y = 0.75. Markers follow
+    base.ctrl: 2 = walls (top + bump), 3 = inlet, 4 = outlet."""
+    x = np.linspace(-1.0, 1.0, nx + 1)
+    eta = np.linspace(0.0, 1.0, ny + 1)
+    ybot = 0.02 * np.exp(-100.0 * x ** 2)
+    X, E = np.meshgrid(x, eta, indexing="ij")
+    Y = ybot[:, None] * (1.0 - E) + 0.75 * E
+    return _grid_mesh(X, Y, {"imin": in_marker, "imax": out_marker,
+                             "jmin": wall_marker, "jmax": wall_marker},
+                      tri=tri)
+
+
+def gaussian_channel_family(nmesh: int, n0x: int = 24, n0y: int = 9,
+                            tri: bool = True):
+    """Refinement family for the gaussian-bump entropy-convergence test."""
+    return [gaussian_channel(n0x * 2 ** i, n0y * 2 ** i, tri=tri)
+            for i in range(nmesh)]
+
+
 def _radial_distribution(nr: int, first_frac: float) -> np.ndarray:
     """Geometric 0..1 distribution with a prescribed first-layer fraction:
     solves f0 (r^n - 1)/(r - 1) = 1 for the ratio r by bisection."""

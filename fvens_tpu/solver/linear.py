@@ -133,17 +133,17 @@ def make_line_smoother(mesh, jac: BlockJacobian, lines, sweeps: int = 1):
     """
     nv = jac.D.shape[-1]
     NC = jac.D.shape[0]
-    lc = lines.line_cells                                    # (NL,L)
-    NLn, L = lc.shape
+    dt = jac.D.dtype   # masks are built f64; cast so f32 (mixed-precision)
+    lc = lines.line_cells                     # Jacobians are not promoted
+    line_mask = lines.line_mask.astype(dt)
 
     # per-line tridiagonal blocks, gathered once per Newton step
     bdiag = jac.D[lc]                                        # (NL,L,V,V)
-    rows = jnp.arange(NLn)[:, None]
-    a = jac.N[lc, lines.dn_slot] * lines.dn_valid[..., None, None]
-    c = jac.N[lc, lines.up_slot] * lines.up_valid[..., None, None]
+    a = jac.N[lc, lines.dn_slot] * lines.dn_valid[..., None, None].astype(dt)
+    c = jac.N[lc, lines.up_slot] * lines.up_valid[..., None, None].astype(dt)
 
     # off-line neighbour blocks (everything not on the line's tridiagonal)
-    N_off = jac.N * (1.0 - lines.line_slot_mask)[..., None, None]
+    N_off = jac.N * (1.0 - lines.line_slot_mask).astype(dt)[..., None, None]
     x_pad = jnp.zeros((mesh.n_bfaces, nv), dtype=jac.D.dtype)
 
     def offdiag_off(z):
@@ -160,7 +160,7 @@ def make_line_smoother(mesh, jac: BlockJacobian, lines, sweeps: int = 1):
         z = jnp.zeros_like(v)
         for _ in range(sweeps):
             r = v - offdiag_off(z)
-            d = r[lc] * lines.line_mask[..., None]           # (NL,L,V)
+            d = r[lc] * line_mask[..., None]                 # (NL,L,V)
             x = block_thomas(a, bdiag, c, d)
             zfull = jnp.zeros((NC + 1, nv), v.dtype)
             zfull = zfull.at[scatter_idx].set(x)
@@ -235,7 +235,8 @@ def gmres(matvec: Callable, b, x0, pc: Callable, restart: int = 30,
     ar = allreduce if allreduce is not None else (lambda x: x)
     # under shard_map, locally-created basis arrays must be marked as
     # device-varying before entering the while_loop carry
-    pv = (lambda x: jax.lax.pvary(x, axis_name)) if axis_name else (lambda x: x)
+    pv = ((lambda x: jax.lax.pcast(x, axis_name, to="varying"))
+          if axis_name else (lambda x: x))
 
     mv = lambda v: matvec(v.reshape(shape)).reshape(n)
     pcf = lambda v: pc(v.reshape(shape)).reshape(n)

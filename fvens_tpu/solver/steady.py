@@ -79,13 +79,16 @@ class SteadyForwardEuler:
         unew = u + (self.cfg.cfl_init * dt * mesh.inv_area)[:, None] * rhs
         return unew, residual_norm(mesh, rhs)
 
-    def solve(self, mesh, u0, log_every: int = 0) -> tuple:
+    def solve(self, mesh, u0, log_every: int = 0, logger=None) -> tuple:
         step_fn = jax.jit(partial(self._step, mesh))
         u = u0
         info = SolveInfo()
         t0 = time.perf_counter()
         res = initres = 1.0
         step = 0
+        if logger is None and log_every:
+            from ..io_config.logs import ConvergenceLogger
+            logger = ConvergenceLogger(print_every=log_every, label="FE")
         while step < self.cfg.maxiter:
             u, resj = step_fn(u)
             res = float(resj)
@@ -94,8 +97,8 @@ class SteadyForwardEuler:
             if step == 0:
                 initres = res
             step += 1
-            if log_every and step % log_every == 0:
-                print(f"  FE step {step}: relres {res/initres:.3e}")
+            if logger:
+                logger.log(step, res / initres, res, cfl=self.cfg.cfl_init)
             if res / initres <= self.cfg.tol:
                 break
         info.walltime = time.perf_counter() - t0
@@ -202,7 +205,7 @@ class SteadyBackwardEuler:
         res = jnp.where(ok, residual_norm(mesh, rhs), jnp.nan)
         return unew, res, iters
 
-    def solve(self, mesh, u0, log_every: int = 0) -> tuple:
+    def solve(self, mesh, u0, log_every: int = 0, logger=None) -> tuple:
         step_fn = jax.jit(partial(self._step, mesh))
         u = u0
         info = SolveInfo()
@@ -210,6 +213,9 @@ class SteadyBackwardEuler:
         res = resold = initres = 1.0
         cfl = self.cfg.cfl_init
         step = 0
+        if logger is None and log_every:
+            from ..io_config.logs import ConvergenceLogger
+            logger = ConvergenceLogger(print_every=log_every, label="BE")
 
         # resume from a checkpoint if one exists (absent in the reference:
         # controlparser.hpp:24 parses init_soln_file but never implements it)
@@ -227,10 +233,13 @@ class SteadyBackwardEuler:
 
         rtol = 0.1 if self.lin.rtol_adapt else self.lin.rtol
         rtol_floor = self.lin.rtol
+        raise_relres = 0.0    # relres level of the last floor raise
         nan_retries = 0
         omega_cap = 1.0
-        u_good = u            # last state whose residual evaluated finite
-        cfl_cap = float("inf")  # trust-region cap, shrinks on NaN failures
+        u_good = u            # last state whose residual evaluated healthy
+        u_best, res_best = u, float("inf")   # lowest-residual state seen
+        stall_count = 0
+        cfl_cap = float("inf")  # trust-region cap, shrinks on failures
         while step < self.cfg.maxiter:
             if step > 0:
                 cfl = exp_residual_ramp(self.cfg.cfl_init, self.cfg.cfl_fin,
@@ -247,13 +256,21 @@ class SteadyBackwardEuler:
                     if ratio > 1.2:        # significant growth: loosen
                         if rtol <= rtol_floor * 1.01:
                             # growth at the floor: tight solves drive a
-                            # nonlinear limit cycle -> raise the floor for
-                            # the rest of the solve (permanent damping)
+                            # nonlinear limit cycle -> raise the floor
+                            # (decays back once far below this level)
                             rtol_floor = min(rtol_floor * 4.0,
                                              self.lin.rtol_max)
+                            raise_relres = max(raise_relres, res / initres)
                         rtol = min(max(rtol * 2.0, rtol_floor),
                                    self.lin.rtol_max)
                     elif ratio <= 1.0:     # progress: tighten fast
+                        # decay a previously-raised floor, but only 100x
+                        # below the residual level where the limit cycle
+                        # lived: left permanently loose, the ratchet stalls
+                        # the deep-convergence endgame in a sloppy-direction
+                        # wobble near the precision floor
+                        if res / initres < 1e-2 * raise_relres:
+                            rtol_floor = max(self.lin.rtol, rtol_floor * 0.7)
                         rtol = max(rtol * 0.3, rtol_floor)
                     # small wobble (1.0 < ratio <= 1.2): hold
             u_prev = u
@@ -261,38 +278,76 @@ class SteadyBackwardEuler:
             resold = res
             res = float(resj)
             info.total_lin_iters += int(itersj)
-            if np.isfinite(res):
-                # the residual was evaluated at u_prev, so u_prev is certified
+            finite = np.isfinite(res)
+            # numerical blowup: finite residual but far beyond any physical
+            # transient (shock-formation transients peak ~1e2-1e3 x initres;
+            # 1e5+ means the continuation left the basin entirely)
+            blown = (finite and step > 0
+                     and res > self.cfg.blowup_relres * initres)
+            if finite and not blown:
+                # the residual was evaluated at u_prev: u_prev is certified
                 u_good = u_prev
+                if res < res_best:
+                    u_best, res_best = u_prev, res
                 nan_retries = 0
                 omega_cap = 1.0
-            if not np.isfinite(res):
-                # divergence guard (beyond the reference, which throws
-                # immediately): back off to the previous state at a much
-                # smaller CFL and a loose linear tolerance
+            if not finite or blown:
+                # divergence guard (beyond the reference, which throws on
+                # NaN and accepts any finite residual): back off at a much
+                # smaller CFL. NaN retries resume locally (u_good); blowups
+                # restart from the best-seen state, since every state on
+                # the divergent branch is polluted.
                 nan_retries += 1
                 if nan_retries > 5:
                     raise NumericalError(
                         "implicit solve diverged: residual NaN/inf")
-                u = u_good
-                res = resold
+                if blown and res_best < float("inf"):
+                    u = u_best
+                    res = resold = res_best
+                else:
+                    u = u_good
+                    res = resold
                 # shrink the trust region: cap future CFL well below the
                 # failure level (it re-expands 5%/step on success)
                 cfl_cap = max(cfl * 0.25, 1.0)
                 cfl = max(cfl * 0.1, 1.0)
-                rtol = self.lin.rtol_max
+                if blown:
+                    # blowups are fed by too-loose linear solves during the
+                    # shock phase: reset the forcing ratchet and solve tight
+                    rtol = rtol_floor = self.lin.rtol
+                else:
+                    rtol = self.lin.rtol_max
                 omega_cap = 0.2        # heavily damped recovery steps
-                print(f"  BE: NaN residual, retrying from previous state "
-                      f"at CFL {cfl:.1f}, omega<=0.2 (retry {nan_retries}/5)")
+                kind = "blowup" if blown else "NaN residual"
+                print(f"  BE: {kind}, retrying from "
+                      f"{'best' if blown else 'previous'} state at CFL "
+                      f"{cfl:.1f}, omega<=0.2 (retry {nan_retries}/5)")
                 continue
+            # frozen-state guard: a bit-identical residual means the update
+            # was fully rejected (e.g. the positivity line search zeroed a
+            # garbage Krylov direction at too-high CFL for f32): cut CFL
+            # and tighten the linear solves, else the solve spins forever
+            if (step > 0 and resold > 0.0
+                    and abs(res / resold - 1.0) < 1e-12
+                    and res / initres > self.cfg.tol):
+                stall_count += 1
+                if stall_count >= 4:
+                    cfl_cap = max(cfl * 0.25, 1.0)
+                    cfl = max(cfl * 0.1, 1.0)
+                    rtol = rtol_floor = self.lin.rtol
+                    stall_count = 0
+                    print(f"  BE: frozen residual, dropping to CFL "
+                          f"{cfl:.1f} with tight linear solves")
+            else:
+                stall_count = 0
             if step == 0:
                 initres = res
                 resold = res
             step += 1
             info.history.append((step, res / initres, res, cfl))
-            if log_every and (step - 1) % log_every == 0:
-                print(f"  BE step {step}: relres {res/initres:.3e} "
-                      f"cfl {cfl:.1f} lin_its {int(itersj)}")
+            if logger:
+                logger.log(step, res / initres, res,
+                           lin_iters=int(itersj), cfl=cfl)
             if (self.checkpoint_path and self.checkpoint_every
                     and step % self.checkpoint_every == 0):
                 from ..io_config.checkpoint import save_checkpoint

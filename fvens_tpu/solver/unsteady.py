@@ -27,20 +27,24 @@ class TVDRKSolver:
     order: int = 3
     cfl: float = 0.5
 
-    def _step(self, mesh, u):
-        """One physical time step of `order` TVD-RK stages; dt from stage 1."""
+    def _step(self, mesh, u, remaining):
+        """One physical time step of `order` TVD-RK stages; dt from stage 1,
+        clipped to `remaining` so the last step lands exactly on the
+        requested final time (no O(dt) overshoot in time-accurate
+        comparisons)."""
         coeffs = TVDRK_COEFFS[self.order]
         ustage = u
-        dtmin = None
+        dtg = None
         for istage, (a, b, c) in enumerate(coeffs):
             # signs: rhs is the NEGATIVE flux divergence, so the reference's
             # "- c*dt/vol * residual" with its rvec (= -r) becomes "+" here
             rhs, dt = self.space.compute_residual(mesh, ustage, True)
             if istage == 0:
                 dtmin = jnp.min(jnp.where(mesh.cell_mask > 0, dt, jnp.inf))
+                dtg = jnp.minimum(dtmin * self.cfl, remaining)
             ustage = (a * u + b * ustage
-                      + (c * self.cfl * dtmin * mesh.inv_area)[..., None] * rhs)
-        return ustage, dtmin * self.cfl
+                      + (c * dtg * mesh.inv_area)[..., None] * rhs)
+        return ustage, dtg
 
     def solve(self, mesh, u0, final_time: float):
         step_fn = jax.jit(partial(self._step, mesh))
@@ -48,7 +52,7 @@ class TVDRKSolver:
         t = 0.0
         nsteps = 0
         while t < final_time - 1e-12:
-            u, dt = step_fn(u)
+            u, dt = step_fn(u, final_time - t)
             dtf = float(dt)
             if not np.isfinite(dtf):
                 raise ArithmeticError("TVDRK diverged: dt NaN/inf")

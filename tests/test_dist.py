@@ -21,10 +21,11 @@ from fvens_tpu.mesh.topology import build_topology
 from fvens_tpu.physics import GasPhysics
 
 
-def make_space(order2=True, viscous=False):
-    pcfg = PhysicsConfig(Minf=0.38, viscous=viscous)
+def make_space(order2=True, viscous=False, recon="LINEAR"):
+    pcfg = PhysicsConfig(Minf=0.38, viscous=viscous,
+                         Reinf=100.0 if viscous else 1.0)
     ncfg = NumericsConfig(flux="HLLC", gradient="LEASTSQUARES",
-                          reconstruction="LINEAR", order2=order2)
+                          reconstruction=recon, order2=order2)
     phy = GasPhysics(g=pcfg.gamma, Minf=pcfg.Minf, Tinf=pcfg.Tinf,
                      Reinf=pcfg.Reinf, Pr=pcfg.Pr)
     return FlowFV(phy=phy, pcfg=pcfg, ncfg=ncfg)
@@ -33,13 +34,21 @@ def make_space(order2=True, viscous=False):
 BCS = [BCSpec(marker=2, type="slipwall"), BCSpec(marker=4, type="farfield")]
 
 
-@pytest.mark.parametrize("order2", [False, True])
-def test_sharded_residual_matches_single_device(order2):
+@pytest.mark.parametrize("order2,recon,viscous", [
+    (False, "LINEAR", False),
+    (True, "LINEAR", False),
+    (True, "WENO", False),      # WENO reads neighbour gradients: exercises
+                                # the limited-gradient halo round
+    (True, "VENKATAKRISHNAN", False),   # cell limiter, same extra round
+    (True, "VANALBADA", False),         # face-based MUSCL path
+    (True, "LINEAR", True),     # viscous fluxes read face gradients
+])
+def test_sharded_residual_matches_single_device(order2, recon, viscous):
     ndev = len(jax.devices())
     assert ndev >= 2, "test needs the 8-device CPU mesh from conftest"
 
     md = cylinder_omesh(32, 12)
-    space = make_space(order2=order2)
+    space = make_space(order2=order2, viscous=viscous, recon=recon)
 
     # single-device reference
     cm = compile_mesh(md, BCS)
@@ -72,6 +81,47 @@ def test_sharded_residual_matches_single_device(order2):
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(dt_g, np.asarray(dt_single)[: cm.n_cells],
                                rtol=1e-10, atol=1e-14)
+
+
+def test_ppermute_halo_matches_allgather():
+    """The scheduled neighbour-ppermute exchange must fill exactly the same
+    halo slots with the same values as the all_gather reference path, and
+    its per-round traffic must be bounded by the partition boundary (not D)."""
+    from jax.sharding import PartitionSpec as P
+
+    from fvens_tpu.dist.shard import (AXIS, halo_exchange,
+                                      halo_exchange_allgather)
+
+    ndev = len(jax.devices())
+    md = cylinder_omesh(32, 12)
+    bundle = partition_mesh(md, BCS, ndev)
+    b = bundle
+
+    # a field that distinguishes every (part, cell) pair
+    rng = np.random.default_rng(7)
+    field = jnp.asarray(rng.normal(size=(ndev, b.mesh.NC, 4)))
+
+    def via_pp(mesh_unused, pps, ppr, f):
+        return halo_exchange((pps[0], ppr[0], b.pp_perms), f[0])[None]
+
+    def via_ag(si, hs, hsrc, f):
+        return halo_exchange_allgather((si[0], hs[0], hsrc[0]), f[0])[None]
+
+    sf = ShardedFlow(space=make_space(), bundle=b, devices=jax.devices())
+    out_pp = jax.jit(jax.shard_map(
+        via_pp, mesh=sf.jmesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS)))(b.mesh.area, b.pp_send, b.pp_recv, field)
+    out_ag = jax.jit(jax.shard_map(
+        via_ag, mesh=sf.jmesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS)))(b.send_idx, b.halo_slots, b.halo_src, field)
+    np.testing.assert_array_equal(np.asarray(out_pp), np.asarray(out_ag))
+
+    # schedule sanity: rounds bounded by neighbour degree, traffic by the
+    # largest single-neighbour boundary strip
+    assert len(b.pp_perms) <= ndev  # far below D*max_send total traffic
+    assert b.pp_send.shape[-1] <= b.max_send
 
 
 def test_partition_covers_all_cells():

@@ -78,6 +78,85 @@ def test_flatplate_cdsf_convergence_order():
 
 
 @pytest.mark.slow
+def test_flatplate_clcd_convergence_orders():
+    """Laminar flat plate: CL and CDp error orders vs the exact values must
+    lie in [1.9, 2.5] (reference tests/flow_clcd_conv.cpp:132-151 gates all
+    three functionals; CDsf has its own test above)."""
+    import math
+    from fvens_tpu.mesh import compile_mesh
+    from fvens_tpu.mesh.meshgen import flatplate
+
+    cfg = FlowCaseConfig(
+        physics=PhysicsConfig(Minf=0.2, Reinf=8.7e5, Tinf=290.19, Pr=0.708,
+                              viscous=True),
+        numerics=NumericsConfig(flux="ROE", gradient="LEASTSQUARES",
+                                reconstruction="LINEAR", order2=True),
+        bcs=[BCSpec(marker=2, type="adiabaticwall", values=(0.0,)),
+             BCSpec(marker=3, type="slipwall"),
+             BCSpec(marker=4, type="farfield"),
+             BCSpec(marker=5, type="inflowoutflow")],
+        main=PseudoTimeConfig(cfl_init=100.0, cfl_fin=4000.0, tol=1e-5,
+                              maxiter=1000),
+        init=PseudoTimeConfig(cfl_init=20.0, cfl_fin=2000.0, tol=1e-1,
+                              maxiter=50),
+        linear=LinearSolverConfig(restart=60, maxiter=60, rtol=1e-1,
+                                  pc="bcsgs", pc_sweeps=2),
+        nl_update=NonlinearUpdateConfig(scheme="full"),
+        wall_markers=(2,),
+    )
+    case = SteadyFlowCase(cfg)
+    # tests/visc-flatplate/exact_clcd_flatplate.dat
+    ex_cl, ex_cdp = 0.000326468, 0.0
+    errs_cl, errs_cdp, hs = [], [], []
+    for lev in range(3):
+        mesh = compile_mesh(flatplate(level=lev), cfg.bcs)
+        u, info, f = case.run_output(mesh)
+        errs_cl.append(abs(abs(f.CL) - ex_cl))
+        errs_cdp.append(abs(abs(f.CDp) - ex_cdp))
+        hs.append(mesh.h_param)
+    dlh = math.log10(hs[-1]) - math.log10(hs[-2])
+    s_cl = (math.log10(errs_cl[-1]) - math.log10(errs_cl[-2])) / dlh
+    s_cdp = (math.log10(errs_cdp[-1]) - math.log10(errs_cdp[-2])) / dlh
+    assert 1.9 <= s_cl <= 2.5, f"CL order {s_cl} outside [1.9, 2.5]"
+    assert 1.9 <= s_cdp <= 2.5, f"CDp order {s_cdp} outside [1.9, 2.5]"
+
+
+@pytest.mark.slow
+def test_gaussianbump_entropy_convergence_order():
+    """Subsonic Gaussian-bump channel (reference tests/inv-gaussianbump:
+    base.ctrl + ls-hllc_tri.ctrl): WENO + HLLC + WLS entropy order over the
+    channel family must lie in [1.65, 2.1] (flow_conv.cpp:78-89). The only
+    end-to-end case driving inflowoutflow at BOTH in- and outlet."""
+    from fvens_tpu.mesh import compile_mesh
+    from fvens_tpu.mesh.meshgen import gaussian_channel_family
+
+    cfg = FlowCaseConfig(
+        physics=PhysicsConfig(Minf=0.2, viscous=False, aoa_deg=0.0),
+        numerics=NumericsConfig(flux="HLLC", gradient="LEASTSQUARES",
+                                reconstruction="WENO", order2=True,
+                                limiter_param=0.0),
+        bcs=[BCSpec(marker=2, type="slipwall"),
+             BCSpec(marker=3, type="inflowoutflow"),
+             BCSpec(marker=4, type="inflowoutflow")],
+        main=PseudoTimeConfig(cfl_init=250.0, cfl_fin=2000.0, tol=1e-6,
+                              maxiter=400),
+        init=PseudoTimeConfig(cfl_init=25.0, cfl_fin=500.0, tol=1e-1,
+                              maxiter=250),
+        nl_update=NonlinearUpdateConfig(scheme="robust_flow"),
+        wall_markers=(2,),
+    )
+    case = SteadyFlowCase(cfg)
+    lh, le = [], []
+    for md in gaussian_channel_family(3):
+        mesh = compile_mesh(md, cfg.bcs)
+        u, info, fnls = case.run_output(mesh)
+        lh.append(math.log10(fnls.mesh_size))
+        le.append(math.log10(fnls.entropy))
+    slope = (le[-1] - le[-2]) / (lh[-1] - lh[-2])
+    assert 1.65 <= slope <= 2.1, f"entropy order {slope} outside [1.65, 2.1]"
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("flux,gradient", [("HLLC", "LEASTSQUARES"),
                                            ("ROE", "GREENGAUSS")])
 def test_entropy_convergence_order(refdir, flux, gradient):

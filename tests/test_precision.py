@@ -36,11 +36,11 @@ def _viscous_space():
 
 def _solve(mesh, space, mixed: bool, tol: float = 1e-10,
            checkpoint_path=None, maxiter: int = 400,
-           checkpoint_every: int = 50):
+           checkpoint_every: int = 50, pc: str = "bcsgs"):
     pt = PseudoTimeConfig(cfl_init=100.0, cfl_fin=5000.0, tol=tol,
                           maxiter=maxiter)
     lin = LinearSolverConfig(restart=40, maxiter=40, rtol=1e-2,
-                             pc="bcsgs", pc_sweeps=1, mixed_precision=mixed)
+                             pc=pc, pc_sweeps=1, mixed_precision=mixed)
     solver = SteadyBackwardEuler(space, pt, lin,
                                  NonlinearUpdateConfig(scheme="full"),
                                  checkpoint_path=checkpoint_path,
@@ -67,6 +67,41 @@ def test_mixed_precision_deep_convergence():
     assert abs(clmx - cl64) < 1e-8
     assert abs(cdpmx - cdp64) < 1e-8
     assert abs(cdsfmx - cdsf64) < 1e-8
+
+
+def test_bline_mixed_precision_stays_f32():
+    """pc='bline' under mixed precision: the line smoother's mask arrays are
+    built in f64 on the host and must not promote the f32 Jacobian blocks
+    back to (TPU-emulated) f64. Pin both the dtype and the solution."""
+    import jax
+
+    from fvens_tpu.solver.jacobian import add_pseudotime_term
+    from fvens_tpu.solver.linear import make_preconditioner
+    from fvens_tpu.solver.lines import lines_from_mesh
+
+    md = cylinder_omesh(32, 14, stretch=1.2)
+    mesh = compile_mesh(md, BCS, dtype=jnp.float64)
+    space = _viscous_space()
+    lines = lines_from_mesh(mesh)
+
+    u = jnp.tile(space.uinf, (mesh.NC, 1)).astype(jnp.float64)
+    mesh32 = mesh.astype(jnp.float32)
+    rhs, dt = space.compute_residual(mesh, u, True)
+    jac = space.assemble_jacobian(mesh32, u.astype(jnp.float32))
+    jac = add_pseudotime_term(mesh32, jac, jnp.float32(100.0),
+                              dt.astype(jnp.float32))
+    pc = make_preconditioner(mesh32, jac, "bline", 1, lines=lines)
+    z = jax.jit(pc)(rhs.astype(jnp.float32))
+    assert z.dtype == jnp.float32          # no silent f64 promotion
+    assert bool(jnp.isfinite(z).all())
+
+    # and the full mixed solve with bline converges to the bcsgs answer
+    u_b, info_b = _solve(mesh, space, mixed=True, tol=1e-9, pc="bline")
+    u_c, info_c = _solve(mesh, space, mixed=True, tol=1e-9, pc="bcsgs")
+    assert info_b.converged and info_c.converged
+    _, f_b = surface_data(space, mesh, u_b, [2])
+    _, f_c = surface_data(space, mesh, u_c, [2])
+    np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_c), atol=1e-8)
 
 
 def test_checkpoint_resume_equivalence(tmp_path):

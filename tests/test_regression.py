@@ -56,6 +56,75 @@ def test_visc_cylinder_regression(refdir):
 
 
 @pytest.mark.slow
+def test_transonic_naca0012_muscl_regression(refdir):
+    """Transonic inviscid NACA0012 (M=0.8, alpha=1.25), HLLC + MUSCL-VanAlbada
+    + WLS. Golden: testcases/naca0012/regr-MUSCL_LeastSquares_HLLC.txt.
+    The shock-formation phase trips one controlled blowup-recovery
+    (PseudoTimeConfig.blowup_relres trust region) before converging."""
+    import dataclasses
+    cfg = parse_control_file(
+        str(refdir / "testcases/naca0012/transonic-sanity-test-muscl.ctrl"))
+    cfg = dataclasses.replace(
+        cfg, main=dataclasses.replace(cfg.main, maxiter=450))
+    mesh = load_case_mesh(
+        cfg, str(refdir / "testcases/naca0012/grids/naca0012luo.msh"))
+    u, info, fnls = SteadyFlowCase(cfg).run_output(mesh)
+    assert abs(fnls.CL - 0.154112792928976) < 1e-6
+    assert abs(fnls.CDp - 0.0115814414408097) < 1e-6
+
+
+@pytest.mark.slow
+def test_transonic_naca0012_muscl_line_reorder_regression(refdir):
+    """The same MUSCL transonic case solved on the line_rcm-reordered mesh
+    must reproduce the natural-ordering functionals — the reference commits
+    a separate golden for exactly this check
+    (testcases/naca0012/regr-MUSCL_LS_HLLC_LineOrdering.txt:1)."""
+    import dataclasses
+
+    from fvens_tpu.mesh.ordering import apply_ordering
+    from fvens_tpu.mesh.reader import read_mesh
+    from fvens_tpu.mesh import compile_mesh
+
+    cfg = parse_control_file(
+        str(refdir / "testcases/naca0012/transonic-sanity-test-muscl.ctrl"))
+    cfg = dataclasses.replace(
+        cfg, main=dataclasses.replace(cfg.main, maxiter=450))
+    md = read_mesh(str(refdir / "testcases/naca0012/grids/naca0012luo.msh"))
+    md = apply_ordering(md, "line_rcm")
+    mesh = compile_mesh(md, cfg.bcs)
+    u, info, fnls = SteadyFlowCase(cfg).run_output(mesh)
+    # reference golden for the reordered run (same values to its own 1e-8)
+    assert abs(fnls.CL - 0.15411279292898) < 1e-6
+    assert abs(fnls.CDp - 0.0115814414408098) < 1e-6
+
+
+@pytest.mark.slow
+def test_distributed_visc_naca0012_regression(refdir):
+    """The north-star viscous NACA case solved domain-decomposed over the
+    8 virtual devices must reproduce the single-chip functionals.
+    Role of the reference's mpirun regression runs
+    (tests/inv-2dcyl/CMakeLists.txt:31-37)."""
+    import jax
+
+    from fvens_tpu.cases.casesolvers import DistributedFlowCase
+    from fvens_tpu.mesh.reader import read_mesh
+    assert len(jax.devices()) >= 2
+
+    cfg = parse_control_file(
+        str(refdir / "testcases/visc-naca0012/laminar-implicit.ctrl"))
+    md = read_mesh(str(refdir / "testcases/visc-naca0012/grids/"
+                                "NACA0012_lam_hybrid_1.msh"))
+    u, info, fnls = DistributedFlowCase(cfg).run_output(md)
+    assert info.converged
+    ref_CL = 3.1542315562868e-05
+    ref_CDp = 0.0111665585911807
+    ref_CDsf = -0.0164800118334553
+    assert abs(fnls.CL - ref_CL) < 1e-6
+    assert abs(fnls.CDp - ref_CDp) < 1e-6
+    assert abs(fnls.CDsf - ref_CDsf) < 1e-6
+
+
+@pytest.mark.slow
 def test_transonic_naca0012_weno_regression(refdir):
     """Transonic inviscid NACA0012 (M=0.8, alpha=1.25), HLLC + WENO + WLS.
     Golden: testcases/naca0012/regr-WENO_LeastSquares_HLLC.txt. Note the

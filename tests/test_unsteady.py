@@ -87,3 +87,62 @@ def test_isentropic_vortex_periodic_advection():
     ref = np.sqrt((((uex[:, 0] - 1.0) ** 2) * area).sum())
     assert np.isfinite(err)
     assert err < 0.5 * ref, f"vortex error too large: {err} vs {ref}"
+
+
+def test_unsteady_ctrl_case(tmp_path):
+    """ctrl-driven unsteady path (time { simulation_type unsteady }):
+    parses the TVDRK settings, integrates to final_time EXACTLY (last step
+    clipped), and produces a finite state. Reference casesolvers.cpp:420-447."""
+    from fvens_tpu.cases import UnsteadyFlowCase
+    from fvens_tpu.io_config import parse_control_file
+    from fvens_tpu.mesh.meshgen import cylinder_omesh
+
+    ctrl = tmp_path / "unsteady.ctrl"
+    ctrl.write_text("""
+io {
+\tmesh_file "unused.msh"
+\tsolution_output_file "u.vtu"
+\tlog_file_prefix "u-log"
+\tconvergence_history_required false
+}
+flow_conditions {
+\tflow_type euler
+\tadiabatic_index 1.4
+\tangle_of_attack 0.0
+\tfreestream_Mach_number 0.38
+}
+bc {
+\tbc0 {
+\t\ttype slipwall
+\t\tmarker 2
+\t}
+\tbc1 {
+\t\ttype farfield
+\t\tmarker 4
+\t}
+}
+time {
+\tsimulation_type unsteady
+\tfinal_time 0.05
+\ttime_integrator TVDRK
+\ttemporal_order 2
+\tphysical_cfl 0.4
+}
+spatial_discretization {
+\tinviscid_flux hllc
+\tgradient_method leastsquares
+\tlimiter none
+}
+pseudotime {
+\tpseudotime_stepping_type explicit
+}
+""")
+    cfg = parse_control_file(str(ctrl))
+    assert cfg.sim_type == "unsteady"
+    assert cfg.time_order == 2 and cfg.phy_cfl == 0.4
+    mesh = compile_mesh(cylinder_omesh(24, 8), cfg.bcs)
+    case = UnsteadyFlowCase(cfg)
+    u, t, nsteps = case.solve(mesh)
+    assert abs(t - 0.05) < 1e-12        # last step clipped to final_time
+    assert nsteps > 1
+    assert bool(jnp.isfinite(u).all())
