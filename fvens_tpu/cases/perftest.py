@@ -27,6 +27,10 @@ def main(argv=None) -> int:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--breakdown", action="store_true",
+                    help="time the implicit-step kernels separately "
+                         "(residual / Jacobian / pc apply / matvec), the "
+                         "reference TimingData's per-component view")
     args = ap.parse_args(argv)
 
     import jax
@@ -41,6 +45,9 @@ def main(argv=None) -> int:
     cfg0 = parse_control_file(args.control_file, mesh_file=args.mesh_file)
     dtype = jnp.float32 if args.f32 else jnp.float64
     mesh = load_case_mesh(cfg0, dtype=dtype)
+
+    if args.breakdown:
+        return kernel_breakdown(cfg0, mesh, args.repeats)
 
     grid = [
         ("bjacobi", 0, 60),
@@ -81,6 +88,55 @@ def main(argv=None) -> int:
     if results:
         best = min(results, key=lambda r: r["min_wall_s"])
         print("# best:", json.dumps(best))
+    return 0
+
+
+def kernel_breakdown(cfg, mesh, repeats: int = 3) -> int:
+    """Per-kernel timing of the implicit-step components (the reference's
+    TimingData records the linear-solve walltime and apply counts,
+    aodesolver.hpp:46-67; here each kernel is jitted and timed on device).
+    Prints one JSONL record per kernel: {"kernel": ..., "ms": ...}."""
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..solver import jacobian as jacmod
+    from ..solver.linear import bsr_matvec, make_preconditioner
+    from .casesolvers import build_space, initial_state
+
+    space = build_space(cfg)
+    u = initial_state(space, mesh)
+
+    rhs, dt = space.compute_residual(mesh, u, True)
+    jac = space.assemble_jacobian(mesh, u)
+    jac = jacmod.add_pseudotime_term(mesh, jac, jnp.asarray(100.0,
+                                                            mesh.dtype), dt)
+    pc = make_preconditioner(mesh, jac, cfg.linear.pc, cfg.linear.pc_sweeps)
+
+    kernels = {
+        "residual": jax.jit(lambda v: space.compute_residual(mesh, v,
+                                                             True)[0]),
+        "jacobian_assembly": jax.jit(
+            lambda v: space.assemble_jacobian(mesh, v).D),
+        "pc_apply": jax.jit(pc),
+        "bsr_matvec": jax.jit(lambda v: bsr_matvec(mesh, jac, v)),
+    }
+    args = {"residual": u, "jacobian_assembly": u, "pc_apply": rhs,
+            "bsr_matvec": rhs}
+
+    for name, fn in kernels.items():
+        a = args[name]
+        jax.block_until_ready(fn(a))          # compile
+        n = max(repeats, 3)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(a)
+        jax.block_until_ready(out)
+        ms = (time.perf_counter() - t0) / n * 1e3
+        print(json.dumps({"kernel": name, "ms": ms,
+                          "cells": mesh.n_cells}), flush=True)
     return 0
 
 

@@ -126,6 +126,11 @@ class LinearSolverConfig:
     pc: str = "bcsgs"                  # none | bjacobi | bsgs | bcsgs
     pc_sweeps: int = 3                 # sweeps for iterative PCs
     matrix_free: bool = False
+    matrix_free_fd: bool = False       # matrix-free matvec via the
+    #                                    reference's eps/||x|| finite
+    #                                    difference (alinalg.cpp:143-233)
+    #                                    instead of the exact jax.jvp
+    fd_eps: float = 1e-7               # -matrix_free_difference_step default
     mixed_precision: bool = False      # f32 Jacobian/Krylov/preconditioner
     #                                    around an f64 residual + update:
     #                                    reaches 1e-10 residuals at f32-ish

@@ -191,3 +191,27 @@ def read_mesh(path: str) -> MeshData:
     if path.endswith(".su2"):
         return read_su2(path)
     return read_gmsh2(path)
+
+
+def compare_meshes(m1: MeshData, m2: MeshData) -> dict:
+    """Field-by-field mesh equality report (reference compareMeshes,
+    src/mesh/ameshutils.cpp:198-243): counts, element connectivity,
+    boundary faces + tags, and coordinates to machine epsilon. Returns a
+    dict of named booleans; all(report.values()) means identical."""
+    rep = {
+        "nelem": m1.nelem == m2.nelem,
+        "npoin": m1.npoin == m2.npoin,
+        "nbface": m1.bface.shape[0] == m2.bface.shape[0],
+    }
+    if rep["nelem"]:
+        rep["nnode"] = bool(np.array_equal(m1.nnode, m2.nnode))
+        rep["nfael"] = bool(np.array_equal(m1.nfael, m2.nfael))
+        rep["inpoel"] = bool(np.array_equal(m1.inpoel, m2.inpoel))
+    else:
+        rep["nnode"] = rep["nfael"] = rep["inpoel"] = False
+    rep["bface"] = (rep["nbface"]
+                    and bool(np.array_equal(m1.bface, m2.bface)))
+    rep["coords"] = (rep["npoin"] and bool(
+        np.abs(m1.coords - m2.coords).max(initial=0.0)
+        <= np.finfo(np.float64).eps))
+    return rep

@@ -157,13 +157,27 @@ class SteadyBackwardEuler:
         if self.lin.matrix_free:
             diag = (mesh.area / (cfl * dt) * mesh.cell_mask)[:, None]
 
-            def matvec(x):
-                # exact JVP of -rhs plus the pseudo-time diagonal
-                # (vs the reference's FD approximation, alinalg.cpp:143-233)
-                _, tang = jax.jvp(
-                    lambda v: self.space.compute_residual(mesh, v, False)[0],
-                    (u,), (x,))
-                return diag * x - tang
+            if self.lin.matrix_free_fd:
+                eps0 = self.lin.fd_eps
+
+                def matvec(x):
+                    # the reference's finite-difference shell: perturbation
+                    # eps/||x||, J x ~ (r(u + p x) - r(u))/p with r = -rhs
+                    # (alinalg.cpp:126,167-202)
+                    p = eps0 / jnp.maximum(
+                        jnp.sqrt((x * x).sum()), 1e-300)
+                    rp = self.space.compute_residual(mesh, u + p * x,
+                                                     False)[0]
+                    return diag * x - (rp - rhs) / p
+            else:
+                def matvec(x):
+                    # exact JVP of -rhs plus the pseudo-time diagonal
+                    # (tighter than the reference's FD approximation)
+                    _, tang = jax.jvp(
+                        lambda v: self.space.compute_residual(
+                            mesh, v, False)[0],
+                        (u,), (x,))
+                    return diag * x - tang
         else:
             matvec = lambda x: bsr_matvec(lmesh, jac, x)
 

@@ -51,15 +51,20 @@ def test_matrixfree_same_step_count():
     nl = NonlinearUpdateConfig(scheme="full")
 
     steps = {}
-    for mf in (False, True):
+    # assembled, exact-JVP matrix-free, and the reference's eps/||x||
+    # finite-difference matrix-free shell (tests/solvers/testmatrixfree.cpp
+    # gates on identical step counts; alinalg.cpp:143-233 for the FD form)
+    for key, mf, fd in (("asm", False, False), ("jvp", True, False),
+                        ("fd", True, True)):
         lin = LinearSolverConfig(restart=40, maxiter=40, rtol=1e-3,
-                                 pc="bcsgs", pc_sweeps=1, matrix_free=mf)
+                                 pc="bcsgs", pc_sweeps=1, matrix_free=mf,
+                                 matrix_free_fd=fd)
         solver = SteadyBackwardEuler(space, pt, lin, nl)
         u0 = jnp.tile(space.uinf, (cm.NC, 1))
         u, info = solver.solve(cm, u0)
-        steps[mf] = info.steps
-    assert steps[False] == steps[True], (
-        f"assembled {steps[False]} vs matrix-free {steps[True]} steps")
+        steps[key] = info.steps
+    assert steps["asm"] == steps["jvp"] == steps["fd"], (
+        f"step counts differ: {steps}")
 
 
 def test_reordering_permutes_residual():
