@@ -98,6 +98,10 @@ class PseudoTimeConfig:
     cfl_init: float = 500.0
     cfl_fin: float = 5000.0
     tol: float = 1e-6
+    tol_abs: float = 0.0               # >0: also stop at this ABSOLUTE
+    #                                    residual (area-weighted energy norm);
+    #                                    useful on TPU where emulated f64 sets
+    #                                    an absolute residual floor
     maxiter: int = 500
     stepping: str = "implicit"         # implicit | explicit
     use_local_dt: bool = True

@@ -99,13 +99,16 @@ class SteadyForwardEuler:
             step += 1
             if logger:
                 logger.log(step, res / initres, res, cfl=self.cfg.cfl_init)
-            if res / initres <= self.cfg.tol:
+            if (res / initres <= self.cfg.tol
+                    or (self.cfg.tol_abs and res <= self.cfg.tol_abs)):
                 break
         info.walltime = time.perf_counter() - t0
         info.steps = step
         info.initres = initres
         info.finalres = res
-        info.converged = res / initres <= self.cfg.tol
+        info.converged = (res / initres <= self.cfg.tol
+                          or bool(self.cfg.tol_abs
+                                  and res <= self.cfg.tol_abs))
         if not info.converged:
             raise ToleranceError("explicit steady solve did not converge")
         return u, info
@@ -367,13 +370,16 @@ class SteadyBackwardEuler:
                 from ..io_config.checkpoint import save_checkpoint
                 save_checkpoint(self.checkpoint_path, u, step=step, cfl=cfl,
                                 res=res, initres=initres)
-            if res / initres <= self.cfg.tol:
+            if (res / initres <= self.cfg.tol
+                    or (self.cfg.tol_abs and res <= self.cfg.tol_abs)):
                 break
         info.walltime = time.perf_counter() - t0
         info.steps = step
         info.initres = initres
         info.finalres = res
-        info.converged = res / initres <= self.cfg.tol
+        info.converged = (res / initres <= self.cfg.tol
+                          or bool(self.cfg.tol_abs
+                                  and res <= self.cfg.tol_abs))
         if not info.converged:
             raise ToleranceError("implicit steady solve did not converge")
         return u, info

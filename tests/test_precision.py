@@ -95,7 +95,20 @@ def test_bline_mixed_precision_stays_f32():
     assert z.dtype == jnp.float32          # no silent f64 promotion
     assert bool(jnp.isfinite(z).all())
 
-    # and the full mixed solve with bline converges to the bcsgs answer
+    # and a short mixed solve with bline makes normal progress (the deep
+    # bline-vs-bcsgs functional comparison lives in the slow suite)
+    u_b, info_b = _solve(mesh, space, mixed=True, tol=1e-6, pc="bline",
+                         maxiter=200)
+    assert info_b.converged
+
+
+@pytest.mark.slow
+def test_bline_mixed_matches_bcsgs_functionals():
+    """Deep (1e-9) mixed-precision solves with the line smoother and the
+    colored SGS must land on the same functionals."""
+    md = cylinder_omesh(32, 14, stretch=1.2)
+    mesh = compile_mesh(md, BCS, dtype=jnp.float64)
+    space = _viscous_space()
     u_b, info_b = _solve(mesh, space, mixed=True, tol=1e-9, pc="bline")
     u_c, info_c = _solve(mesh, space, mixed=True, tol=1e-9, pc="bcsgs")
     assert info_b.converged and info_c.converged
