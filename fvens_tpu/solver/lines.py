@@ -131,15 +131,22 @@ def build_lines(mesh_np_nbrs, mesh_np_mask, rc, nfael_active,
         n_lines=NL, Lmax=Lmax)
 
 
-def lines_from_mesh(mesh, anisotropy_threshold: float = 2.0) -> LineStructure:
-    """Build LineStructure from a CompiledMesh (host pass)."""
+def lines_from_mesh(mesh, anisotropy_threshold: float = 2.0,
+                    max_len: int = 32) -> LineStructure:
+    """Build LineStructure from a CompiledMesh (host pass).
+
+    Lines are clipped to `max_len` for the smoother: clipped segments stay
+    exact block-tridiagonal solves (the cut couplings are lagged like any
+    off-line block), and a bounded length keeps the Thomas scan fully
+    unrollable (see block_thomas)."""
     nbrs = np.asarray(mesh.cell_nbrs)
     mask = np.asarray(mesh.nbr_mask)
     rc = np.asarray(mesh.rc)
     nf = np.asarray(np.abs(np.asarray(mesh.cell_fsign)).sum(axis=1))[
         : mesh.n_cells]
     return build_lines(nbrs, mask, rc, nf, mesh.NC,
-                       anisotropy_threshold=anisotropy_threshold)
+                       anisotropy_threshold=anisotropy_threshold,
+                       max_len=max_len)
 
 
 def block_thomas(a, b, c, d):
@@ -148,11 +155,16 @@ def block_thomas(a, b, c, d):
     a,b,c: (NL, L, V, V) sub/main/super diagonal blocks (a[.,0], c[.,L-1]
     ignored); d: (NL, L, V) right-hand sides. Returns x (NL, L, V).
     Sequential in L via lax.scan; fully batched over lines (the TPU unit of
-    work is a (NL, V, V) batched 4x4 solve per scan step).
+    work is a (NL, V, V) batched 4x4 solve per scan step). Short scans are
+    fully unrolled: line lengths are clipped to ~32 by lines_from_mesh, and
+    the rolled lax.scan form miscompiles on the axon TPU backend when fused
+    into the whole implicit-step program (worker crash, observed on the
+    13k-cell hybrid NACA mesh; the unrolled form is also faster for short L).
     """
     from .linear import block_jacobi_inverse
 
     NL, L, V, _ = b.shape
+    unroll = True if L <= 64 else 8
 
     # forward elimination: w_i = (b_i - a_i q_{i-1})^-1 ;
     # q_i = w_i c_i ; y_i = w_i (d_i - a_i y_{i-1})
@@ -171,7 +183,8 @@ def block_thomas(a, b, c, d):
     c_t = jnp.moveaxis(c, 1, 0)
     d_t = jnp.moveaxis(d, 1, 0)
     init = (jnp.zeros((NL, V, V), b.dtype), jnp.zeros((NL, V), b.dtype))
-    _, (qs, ys) = jax.lax.scan(fwd, init, (a_t, b_t, c_t, d_t))
+    _, (qs, ys) = jax.lax.scan(fwd, init, (a_t, b_t, c_t, d_t),
+                               unroll=unroll)
 
     # back substitution: x_i = y_i - q_i x_{i+1}
     def bwd(x_next, inp):
@@ -180,5 +193,5 @@ def block_thomas(a, b, c, d):
         return xi, xi
 
     _, xs = jax.lax.scan(bwd, jnp.zeros((NL, V), b.dtype), (qs, ys),
-                         reverse=True)
+                         reverse=True, unroll=unroll)
     return jnp.moveaxis(xs, 0, 1)

@@ -124,7 +124,13 @@ class SteadyBackwardEuler:
     checkpoint_every: int = 50
 
     def _lines(self, mesh):
-        """Host-side line detection, cached per mesh (pc='bline' only)."""
+        """Host-side line detection, cached per mesh (pc='bline' only).
+
+        Must be called (at least once per mesh) OUTSIDE any jit trace:
+        building the jnp arrays of the LineStructure inside a trace turns
+        the constants into tracers, and caching those poisons later traces
+        (UnexpectedTracerError on the next solve with the same solver).
+        solve() prewarms the cache eagerly before jitting the step."""
         if self.lin.pc != "bline":
             return None
         key = id(mesh)
@@ -223,6 +229,7 @@ class SteadyBackwardEuler:
         return unew, res, iters
 
     def solve(self, mesh, u0, log_every: int = 0, logger=None) -> tuple:
+        self._lines(mesh)        # prewarm eagerly: see _lines docstring
         step_fn = jax.jit(partial(self._step, mesh))
         u = u0
         info = SolveInfo()
