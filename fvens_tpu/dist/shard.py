@@ -144,7 +144,8 @@ class ShardedFlow:
         """
         from ..config import LinearSolverConfig, NonlinearUpdateConfig
         from ..solver import jacobian as jacmod
-        from ..solver.linear import (bsr_matvec, gmres, make_preconditioner)
+        from ..solver.linear import (gmres, make_bsr_matvec,
+                                     make_preconditioner)
         from ..solver.relaxation import get_update_scheme
         from ..solver.steady import residual_norm
         lin = lin or LinearSolverConfig()
@@ -164,9 +165,12 @@ class ShardedFlow:
             # shard-local preconditioner (additive Schwarz, no halo coupling)
             pc = make_preconditioner(mesh_loc, jac, lin.pc, lin.pc_sweeps)
 
+            mv_loc = make_bsr_matvec(mesh_loc, jac)  # fused operand, built
+            #                                          once per Newton step
+
             def matvec(x):
                 xh = halo_exchange(exch, x)
-                return bsr_matvec(mesh_loc, jac, xh) * mask
+                return mv_loc(xh) * mask
 
             du, iters, relres = gmres(
                 matvec, rhs * mask, jnp.zeros_like(rhs),

@@ -35,20 +35,36 @@ class BlockJacobian(NamedTuple):
     N: jnp.ndarray   # (NC,4,V,V) per-slot neighbour blocks (0 at boundaries)
 
 
-def _neighbor_gather(mesh, x):
-    """x values of each cell's neighbours (NC,4,V); boundary ghost slots
-    read zero."""
-    nbv = x.shape[-1]
-    x_ext = jnp.concatenate(
-        [x, jnp.zeros((mesh.n_bfaces, nbv), dtype=x.dtype)], axis=0)
-    return x_ext[mesh.cell_nbrs]
+def _nbrs_in_range(mesh):
+    """Neighbour indices clamped into [0, NC): boundary/ghost slots point at
+    an arbitrary real row, which is safe wherever the gathered value is
+    multiplied by the neighbour blocks N (zero on exactly those slots,
+    solver/jacobian.py:86). Avoids the per-matvec pad-concatenate of the
+    ghost rows; the jnp.minimum of a closed-over constant folds at compile
+    time under jit."""
+    return jnp.minimum(mesh.cell_nbrs, mesh.NC - 1)
+
+
+def make_bsr_matvec(mesh, jac: BlockJacobian) -> Callable:
+    """Returns mv(x) = J x as two device ops (one (NC,5) row gather + one
+    batched block einsum): the diagonal joins the neighbour slots as a fifth
+    self-pointing slot, so the whole BSR matvec is a single fused
+    contraction on the VPU. The fused (NC,5,V,V) operand is built here,
+    ONCE per Jacobian — call this outside the Krylov loop."""
+    NC = jac.D.shape[0]
+    self_idx = jnp.arange(NC, dtype=mesh.cell_nbrs.dtype)
+    idx = jnp.concatenate([self_idx[:, None], _nbrs_in_range(mesh)], axis=1)
+    blocks = jnp.concatenate([jac.D[:, None], jac.N], axis=1)   # (NC,5,V,V)
+
+    def mv(x):
+        return jnp.einsum("ckij,ckj->ci", blocks, x[idx])
+
+    return mv
 
 
 def bsr_matvec(mesh, jac: BlockJacobian, x):
     """y = J x with the slot-block Jacobian; x (NC,V)."""
-    y = jnp.einsum("cij,cj->ci", jac.D, x)
-    xn = _neighbor_gather(mesh, x)                    # (NC,4,V)
-    return y + jnp.einsum("ckij,ckj->ci", jac.N, xn)
+    return make_bsr_matvec(mesh, jac)(x)
 
 
 def block_jacobi_inverse(D):
@@ -110,10 +126,11 @@ def make_preconditioner(mesh, jac: BlockJacobian, kind: str = "bjacobi",
     if kind == "bjacobi":
         return apply_dinv
     if kind == "bsgs":
+        mv = make_bsr_matvec(mesh, jac)
         def pc(v):
             z = apply_dinv(v)
             for _ in range(sweeps):
-                z = z + apply_dinv(v - bsr_matvec(mesh, jac, z))
+                z = z + apply_dinv(v - mv(z))
             return z
         return pc
     if kind == "bcsgs":
@@ -142,14 +159,13 @@ def make_line_smoother(mesh, jac: BlockJacobian, lines, sweeps: int = 1):
     a = jac.N[lc, lines.dn_slot] * lines.dn_valid[..., None, None].astype(dt)
     c = jac.N[lc, lines.up_slot] * lines.up_valid[..., None, None].astype(dt)
 
-    # off-line neighbour blocks (everything not on the line's tridiagonal)
+    # off-line neighbour blocks (everything not on the line's tridiagonal);
+    # boundary slots of N are zero, so clamped in-range gathers are safe
     N_off = jac.N * (1.0 - lines.line_slot_mask).astype(dt)[..., None, None]
-    x_pad = jnp.zeros((mesh.n_bfaces, nv), dtype=jac.D.dtype)
+    nbrs_in = _nbrs_in_range(mesh)
 
     def offdiag_off(z):
-        z_ext = jnp.concatenate([z, x_pad], axis=0)
-        zn = z_ext[mesh.cell_nbrs]
-        return jnp.einsum("ckij,ckj->ci", N_off, zn)
+        return jnp.einsum("ckij,ckj->ci", N_off, z[nbrs_in])
 
     from .lines import block_thomas
 
@@ -179,34 +195,38 @@ def make_colored_sgs(mesh, jac: BlockJacobian, Dinv, blocks,
     share no faces, so each color updates as one batched 4x4 solve with the
     freshest neighbour values. One sweep = forward + backward color passes.
 
-    All gathered structures (per-color off-diagonal block tensors, inverted
-    diagonals) are precomputed once per Newton step and closed over.
+    All gathered structures (per-color D^-1-folded off-diagonal tensors) are
+    precomputed once per Newton step and closed over, so one color update is
+    just THREE device ops: a (R,4) row gather of z, one batched einsum, and
+    the row scatter. D^-1 is folded into the neighbour blocks
+    (z_c = (D^-1 v)_c - sum_k (D^-1 N)_ck z_nbr), removing the per-update
+    triangular-ish solve, and neighbour indices are clamped in-range
+    (boundary slots multiply zero blocks) so no ghost padding is ever built.
     """
-    nv = jac.D.shape[-1]
-    x_pad = jnp.zeros((mesh.n_bfaces, nv), dtype=jac.D.dtype)
     rows_all = mesh.color_rows                       # (ncol, R)
     ncol = mesh.n_colors
+    nbrs_in = _nbrs_in_range(mesh)
 
-    # static per-color gathers, done once
-    col_blocks = [blocks[rows_all[c]] for c in range(ncol)]   # (R,4,nv,nv)
-    col_nbrs = [mesh.cell_nbrs[rows_all[c]] for c in range(ncol)]
-    col_dinv = [Dinv[rows_all[c]] for c in range(ncol)]
-
-    def color_update(z, v, c):
-        rows = rows_all[c]
-        z_ext = jnp.concatenate([z, x_pad], axis=0)
-        zn = z_ext[col_nbrs[c]]                      # (R,4,nv)
-        off = jnp.einsum("rkij,rkj->ri", col_blocks[c], zn)
-        znew = jnp.einsum("rij,rj->ri", col_dinv[c], v[rows] - off)
-        return z.at[rows].set(znew)
+    # static per-color gathers + Dinv folding, done once per Newton step
+    col_nbrs = [nbrs_in[rows_all[c]] for c in range(ncol)]
+    col_DN = [jnp.einsum("rij,rkjl->rkil", Dinv[rows_all[c]],
+                         blocks[rows_all[c]]) for c in range(ncol)]
 
     def pc(v):
+        dv = jnp.einsum("cij,cj->ci", Dinv, v)       # one whole-mesh solve
+        col_dv = [dv[rows_all[c]] for c in range(ncol)]
+
+        def color_update(z, c):
+            zn = z[col_nbrs[c]]                      # (R,4,nv)
+            znew = col_dv[c] - jnp.einsum("rkij,rkj->ri", col_DN[c], zn)
+            return z.at[rows_all[c]].set(znew)
+
         z = jnp.zeros_like(v)
         for _ in range(sweeps):
             for c in range(ncol):                    # forward
-                z = color_update(z, v, c)
+                z = color_update(z, c)
             for c in range(ncol - 1, -1, -1):        # backward
-                z = color_update(z, v, c)
+                z = color_update(z, c)
         return z
 
     return pc

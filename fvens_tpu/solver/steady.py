@@ -31,7 +31,7 @@ import numpy as np
 from ..config import (LinearSolverConfig, NonlinearUpdateConfig,
                       PseudoTimeConfig)
 from . import jacobian as jacmod
-from .linear import bsr_matvec, gmres, make_preconditioner
+from .linear import bsr_matvec, gmres, make_bsr_matvec, make_preconditioner
 from .relaxation import get_update_scheme
 
 
@@ -188,7 +188,7 @@ class SteadyBackwardEuler:
                         (u,), (x,))
                     return diag * x - tang
         else:
-            matvec = lambda x: bsr_matvec(lmesh, jac, x)
+            matvec = make_bsr_matvec(lmesh, jac)   # fused operand built once
 
         du, iters, relres = gmres(matvec, lrhs, jnp.zeros_like(lrhs), pc,
                                   restart=self.lin.restart,
