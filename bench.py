@@ -20,9 +20,11 @@ The CPU baseline below is measured with the SAME stopping rule.
 
 The solve runs the TPU-native mixed-precision path end to end: f32
 Jacobian/Krylov inside an f64 residual/update loop
-(LinearSolverConfig.mixed_precision) with the multicolor block-SGS
-preconditioner. (pc="bline" currently faults the axon TPU worker on this
-hybrid mesh — fine on generated meshes and on CPU; see docs/BENCH_NOTES.md.)
+(LinearSolverConfig.mixed_precision) with block-Jacobi smoother sweeps
+(pc="bsgs"): measured on TPU, the pure fused gather+einsum Jacobi sweep
+(no scatters, no per-color fragmentation) beats multicolor SGS 2x per
+unit of Krylov-residual reduction, and 6 sweeps minimizes total wall
+(docs/BENCH_NOTES.md round-2 table).
 
 vs_baseline: (CPU_BASELINE_WALL / 10) / measured, i.e. 1.0 == exactly the
 10x-single-socket-CPU bar. FVENS publishes no absolute numbers (SURVEY.md
@@ -49,7 +51,7 @@ CPU_BASELINE_WALL = 379.3      # s, our CPU f64 solve of the same case
 TARGET_FACTOR = 10.0           # the BASELINE.md bar
 
 
-def run_solve(platform=None, mixed=True, pc="bcsgs"):
+def run_solve(platform=None, mixed=True, pc="bsgs", sweeps=6):
     """Build the visc-naca0012 case and return a closure running the solve.
 
     Returns (solve, mesh) where solve() -> (u, steps, lin_iters)."""
@@ -87,7 +89,7 @@ def run_solve(platform=None, mixed=True, pc="bcsgs"):
     nl = NonlinearUpdateConfig("full")
 
     lin = LinearSolverConfig(restart=90, maxiter=90, rtol=1e-2,
-                             pc=pc, pc_sweeps=3, mixed_precision=mixed)
+                             pc=pc, pc_sweeps=sweeps, mixed_precision=mixed)
     pt = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0,
                           tol=1e-16, tol_abs=TOL_ABS, maxiter=600)
     solver = SteadyBackwardEuler(space, pt, lin, nl)

@@ -19,13 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pc", default="bcsgs")
+    ap.add_argument("--sweeps", type=int, default=3)
     ap.add_argument("--mixed", action="store_true",
                     help="mixed f32 Krylov (default: full f64)")
     args = ap.parse_args()
 
     from bench import run_solve
     import jax
-    solve, mesh = run_solve(platform="cpu", mixed=args.mixed, pc=args.pc)
+    solve, mesh = run_solve(platform="cpu", mixed=args.mixed, pc=args.pc,
+                            sweeps=args.sweeps)
 
     t0 = time.perf_counter()
     u, steps, lin_iters = solve()
@@ -34,7 +36,7 @@ def main() -> int:
     print(json.dumps({
         "cpu_baseline_wall_incl_compile": wall, "steps": steps,
         "lin_iters": lin_iters, "cells": mesh.n_cells,
-        "pc": args.pc, "mixed": args.mixed,
+        "pc": args.pc, "sweeps": args.sweeps, "mixed": args.mixed,
     }))
 
     # second run: compiled-cache wall (the number bench.py compares against)
@@ -45,7 +47,7 @@ def main() -> int:
     print(json.dumps({
         "cpu_baseline_wall": wall, "steps": steps,
         "lin_iters": lin_iters, "cells": mesh.n_cells,
-        "pc": args.pc, "mixed": args.mixed,
+        "pc": args.pc, "sweeps": args.sweeps, "mixed": args.mixed,
     }))
     return 0
 
