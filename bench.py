@@ -46,7 +46,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TOL_ABS = 1e-10                # absolute residual target (energy norm)
-CPU_BASELINE_WALL = 379.3      # s, our CPU f64 solve of the same case
+CPU_BASELINE_WALL = 256.0      # s, our CPU f64 solve of the same case
+#                                (best CPU config, bsgs x6, same stopping rule)
 #                                (scripts/measure_cpu_baseline.py re-measures)
 TARGET_FACTOR = 10.0           # the BASELINE.md bar
 

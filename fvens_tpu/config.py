@@ -136,6 +136,8 @@ class LinearSolverConfig:
     #                                    instead of the exact jax.jvp
     fd_eps: float = 1e-7               # -matrix_free_difference_step default
     mixed_precision: bool = False      # f32 Jacobian/Krylov/preconditioner
+    warm_start: bool = False           # start GMRES from the previous
+    #                                    step's Newton direction
     #                                    around an f64 residual + update:
     #                                    reaches 1e-10 residuals at f32-ish
     #                                    speed on TPU (f64 is emulated)

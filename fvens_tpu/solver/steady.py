@@ -140,7 +140,11 @@ class SteadyBackwardEuler:
             self._lines_cache = (key, lines_from_mesh(mesh))
         return self._lines_cache[1]
 
-    def _step(self, mesh, u, cfl, rtol, omega_cap=1.0):
+    def _step(self, mesh, u, cfl, rtol, omega_cap=1.0, du0=None):
+        """One implicit pseudo-time step. `du0` (optional): previous step's
+        Newton direction, used as the Krylov initial guess when
+        lin.warm_start is set — late-phase systems change slowly, so the
+        old direction removes a large part of the new solution up front."""
         rhs, dt = self.space.compute_residual(mesh, u, True)
 
         # mixed precision: the Newton DIRECTION tolerates f32 (it is just
@@ -190,7 +194,14 @@ class SteadyBackwardEuler:
         else:
             matvec = make_bsr_matvec(lmesh, jac)   # fused operand built once
 
-        du, iters, relres = gmres(matvec, lrhs, jnp.zeros_like(lrhs), pc,
+        if du0 is not None:
+            x0 = du0.astype(lrhs.dtype)
+            # a non-finite or wildly-scaled stale guess must never poison
+            # the solve: fall back to zero when the guess is bad
+            x0 = jnp.where(jnp.isfinite(x0).all(), x0, jnp.zeros_like(x0))
+        else:
+            x0 = jnp.zeros_like(lrhs)
+        du, iters, relres = gmres(matvec, lrhs, x0, pc,
                                   restart=self.lin.restart,
                                   maxiter=self.lin.maxiter,
                                   rtol=rtol)
@@ -226,7 +237,7 @@ class SteadyBackwardEuler:
         ok = (jnp.isfinite(rhs).all() & jnp.isfinite(unew).all()
               & jnp.isfinite(relres) & jnp.isfinite(du).all())
         res = jnp.where(ok, residual_norm(mesh, rhs), jnp.nan)
-        return unew, res, iters
+        return unew, res, iters, du
 
     def solve(self, mesh, u0, log_every: int = 0, logger=None) -> tuple:
         self._lines(mesh)        # prewarm eagerly: see _lines docstring
@@ -241,6 +252,10 @@ class SteadyBackwardEuler:
             from ..io_config.logs import ConvergenceLogger
             logger = ConvergenceLogger(print_every=log_every, label="BE")
 
+        rtol = 0.1 if self.lin.rtol_adapt else self.lin.rtol
+        rtol_floor = self.lin.rtol
+        raise_relres = 0.0    # relres level of the last floor raise
+
         # resume from a checkpoint if one exists (absent in the reference:
         # controlparser.hpp:24 parses init_soln_file but never implements it)
         if self.checkpoint_path:
@@ -253,15 +268,21 @@ class SteadyBackwardEuler:
                 cfl = ck["cfl"] or cfl
                 res = resold = ck["res"] or 1.0
                 initres = ck["initres"] or 1.0
+                # restore the Krylov-forcing controller: restarting it loose
+                # (rtol 0.1) deep into convergence at high CFL can trap the
+                # resumed solve in a residual limit cycle
+                rtol = float(ck.get("x_rtol", rtol))
+                rtol_floor = float(ck.get("x_rtol_floor", rtol_floor))
+                raise_relres = float(ck.get("x_raise_relres", raise_relres))
                 print(f"  resumed from {self.checkpoint_path} at step {step}")
-
-        rtol = 0.1 if self.lin.rtol_adapt else self.lin.rtol
-        rtol_floor = self.lin.rtol
-        raise_relres = 0.0    # relres level of the last floor raise
         nan_retries = 0
         omega_cap = 1.0
+        # Krylov warm start: carry the previous Newton direction as the next
+        # initial guess (None = feature off, keeps a single jit signature)
+        du_prev = jnp.zeros_like(u) if self.lin.warm_start else None
         u_good = u            # last state whose residual evaluated healthy
         u_best, res_best = u, float("inf")   # lowest-residual state seen
+        since_best = 0        # steps since the best residual improved
         stall_count = 0
         cfl_cap = float("inf")  # trust-region cap, shrinks on failures
         while step < self.cfg.maxiter:
@@ -298,7 +319,8 @@ class SteadyBackwardEuler:
                         rtol = max(rtol * 0.3, rtol_floor)
                     # small wobble (1.0 < ratio <= 1.2): hold
             u_prev = u
-            u, resj, itersj = step_fn(u, cfl, rtol, omega_cap)
+            u, resj, itersj, du_prev = step_fn(u, cfl, rtol, omega_cap,
+                                               du_prev)
             resold = res
             res = float(resj)
             info.total_lin_iters += int(itersj)
@@ -313,6 +335,9 @@ class SteadyBackwardEuler:
                 u_good = u_prev
                 if res < res_best:
                     u_best, res_best = u_prev, res
+                    since_best = 0
+                else:
+                    since_best += 1
                 nan_retries = 0
                 omega_cap = 1.0
             if not finite or blown:
@@ -342,6 +367,8 @@ class SteadyBackwardEuler:
                 else:
                     rtol = self.lin.rtol_max
                 omega_cap = 0.2        # heavily damped recovery steps
+                if du_prev is not None:
+                    du_prev = jnp.zeros_like(u)   # drop the stale guess
                 kind = "blowup" if blown else "NaN residual"
                 print(f"  BE: {kind}, retrying from "
                       f"{'best' if blown else 'previous'} state at CFL "
@@ -364,6 +391,28 @@ class SteadyBackwardEuler:
                           f"{cfl:.1f} with tight linear solves")
             else:
                 stall_count = 0
+            # limit-cycle breaker: the adaptive forcing can settle into a
+            # residual oscillation that never improves on the best state
+            # (seen when a solve resumes deep into convergence); restart
+            # from the best state with a tight, un-ratcheted controller and
+            # a halved CFL — a controller reset, not just a state rollback
+            if (since_best >= 50
+                    and res / initres > self.cfg.tol
+                    and not (self.cfg.tol_abs and res <= self.cfg.tol_abs)):
+                since_best = 0
+                u = u_best
+                res = resold = res_best
+                rtol = rtol_floor = self.lin.rtol
+                raise_relres = 0.0
+                cfl = max(min(cfl, cfl_cap) * 0.5, 1.0)
+                cfl_cap = max(cfl * 2.0, 1.0)
+                if du_prev is not None:
+                    du_prev = jnp.zeros_like(u)
+                step += 1
+                print(f"  BE: no progress for 50 steps (limit cycle), "
+                      f"restarting from best state at CFL {cfl:.1f} with "
+                      f"tight linear solves")
+                continue
             if step == 0:
                 initres = res
                 resold = res
@@ -376,7 +425,10 @@ class SteadyBackwardEuler:
                     and step % self.checkpoint_every == 0):
                 from ..io_config.checkpoint import save_checkpoint
                 save_checkpoint(self.checkpoint_path, u, step=step, cfl=cfl,
-                                res=res, initres=initres)
+                                res=res, initres=initres,
+                                extra={"rtol": rtol,
+                                       "rtol_floor": rtol_floor,
+                                       "raise_relres": raise_relres})
             if (res / initres <= self.cfg.tol
                     or (self.cfg.tol_abs and res <= self.cfg.tol_abs)):
                 break
