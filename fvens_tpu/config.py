@@ -105,6 +105,17 @@ class PseudoTimeConfig:
     maxiter: int = 500
     stepping: str = "implicit"         # implicit | explicit
     use_local_dt: bool = True
+    device_steps: int = 1              # pseudo-time steps per device
+    #                                    program launch: >1 runs the CFL
+    #                                    ramp + Krylov forcing controller
+    #                                    inside the jitted program (lax.scan)
+    #                                    and syncs to the host only at chunk
+    #                                    boundaries — removes the per-step
+    #                                    host round trip (~24 ms over the
+    #                                    axon tunnel). Anomalies (NaN,
+    #                                    blowup, stall) exit the chunk and
+    #                                    fall back to the single-step host
+    #                                    recovery path.
     blowup_relres: float = 1e5         # residual growth beyond this factor
     #                                    over the initial residual counts as
     #                                    numerical blowup: the implicit solver

@@ -239,6 +239,105 @@ class SteadyBackwardEuler:
         res = jnp.where(ok, residual_norm(mesh, rhs), jnp.nan)
         return unew, res, iters, du
 
+    def _chunk(self, mesh, K, u, du, u_best, res_best, since_best, stall,
+               cfl, cfl_cap, rtol, rtol_floor, raise_relres, res, resold,
+               initres):
+        """Run up to K pseudo-time steps fully on device (lax.scan): the CFL
+        exp-residual ramp and the Krylov forcing controller are the same
+        arithmetic as the host loop in solve(), so the trajectory matches
+        the single-step path bit-for-bit on the happy path. Exits early
+        (flag != 0) on convergence (1), NaN/blowup (2), or frozen-residual /
+        limit-cycle conditions (3) that the host recovery logic handles.
+
+        Syncing the residual to the host once per chunk instead of once per
+        step removes the per-launch host round trip (~24 ms over the axon
+        TPU tunnel — docs/BENCH_NOTES.md), which is a large fraction of
+        wall time on latency-bound (small-mesh) solves."""
+        sd = u.dtype
+        cfg, lin = self.cfg, self.lin
+        f = lambda x: jnp.asarray(x, sd)
+
+        def controller(cfl, cfl_cap, rtol, rtol_floor, raise_relres,
+                       res, resold):
+            ratio = resold / res
+            p = jnp.where(ratio > 1.0, 0.25, 0.3)
+            cfl = jnp.clip(cfl * ratio ** p, cfg.cfl_init, cfg.cfl_fin)
+            cfl_cap = jnp.minimum(cfl_cap * 1.05, cfg.cfl_fin)
+            cfl = jnp.minimum(cfl, cfl_cap)
+            if lin.rtol_adapt:
+                r2 = res / resold
+                grow = r2 > 1.2
+                prog = r2 <= 1.0
+                at_floor = rtol <= rtol_floor * 1.01
+                floor_g = jnp.where(at_floor,
+                                    jnp.minimum(rtol_floor * 4.0,
+                                                lin.rtol_max), rtol_floor)
+                raise_g = jnp.where(at_floor,
+                                    jnp.maximum(raise_relres, res / initres),
+                                    raise_relres)
+                rtol_g = jnp.minimum(jnp.maximum(rtol * 2.0, floor_g),
+                                     lin.rtol_max)
+                floor_p = jnp.where(res / initres < 1e-2 * raise_relres,
+                                    jnp.maximum(f(lin.rtol),
+                                                rtol_floor * 0.7),
+                                    rtol_floor)
+                rtol_p = jnp.maximum(rtol * 0.3, floor_p)
+                rtol_floor = jnp.where(grow, floor_g,
+                                       jnp.where(prog, floor_p, rtol_floor))
+                raise_relres = jnp.where(grow, raise_g, raise_relres)
+                rtol = jnp.where(grow, rtol_g,
+                                 jnp.where(prog, rtol_p, rtol))
+            return cfl, cfl_cap, rtol, rtol_floor, raise_relres
+
+        def live(c):
+            (u, du, u_best, res_best, since_best, stall, cfl, cfl_cap,
+             rtol, rtol_floor, raise_relres, res, resold, flag, iters,
+             nsteps) = c
+            cfl, cfl_cap, rtol, rtol_floor, raise_relres = controller(
+                cfl, cfl_cap, rtol, rtol_floor, raise_relres, res, resold)
+            u_new, resj, itj, du_new = self._step(
+                mesh, u, cfl, rtol, 1.0,
+                du if self.lin.warm_start else None)
+            finite = jnp.isfinite(resj)
+            blown = finite & (resj > cfg.blowup_relres * initres)
+            healthy = finite & ~blown
+            improved = healthy & (resj < res_best)
+            u_best = jnp.where(improved, u, u_best)
+            res_best = jnp.where(improved, resj, res_best)
+            since_best = jnp.where(improved, 0, since_best + 1)
+            frozen = healthy & (jnp.abs(resj / res - 1.0) < 1e-12) \
+                & (resj / initres > cfg.tol)
+            stall = jnp.where(frozen, stall + 1, 0)
+            done = healthy & ((resj / initres <= cfg.tol)
+                              | ((resj <= cfg.tol_abs) if cfg.tol_abs
+                                 else False))
+            need_host = (stall >= 4) | (since_best >= 50)
+            flag = jnp.where(~healthy, 2,
+                             jnp.where(done, 1,
+                                       jnp.where(need_host, 3, 0)))
+            u = jnp.where(healthy, u_new, u)
+            du = jnp.where(healthy, du_new, jnp.zeros_like(du))
+            resold = jnp.where(healthy, res, resold)
+            i32 = jnp.int32
+            return (u, du, u_best, res_best, since_best.astype(i32),
+                    stall.astype(i32), cfl, cfl_cap, rtol, rtol_floor,
+                    raise_relres, resj, resold, flag.astype(i32),
+                    (iters + itj).astype(i32), (nsteps + 1).astype(i32))
+
+        def body(c, _):
+            flag = c[13]
+            c = jax.lax.cond(flag != 0, lambda c: c, live, c)
+            return c, (c[11], c[6], c[13])        # (res, cfl, flag)
+
+        carry = (u, du, u_best, f(res_best), jnp.asarray(since_best,
+                                                         jnp.int32),
+                 jnp.asarray(stall, jnp.int32), f(cfl), f(cfl_cap),
+                 f(rtol), f(rtol_floor), f(raise_relres), f(res), f(resold),
+                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                 jnp.asarray(0, jnp.int32))
+        carry, outs = jax.lax.scan(body, carry, None, length=K)
+        return carry, outs
+
     def solve(self, mesh, u0, log_every: int = 0, logger=None) -> tuple:
         self._lines(mesh)        # prewarm eagerly: see _lines docstring
         step_fn = jax.jit(partial(self._step, mesh))
@@ -285,7 +384,97 @@ class SteadyBackwardEuler:
         since_best = 0        # steps since the best residual improved
         stall_count = 0
         cfl_cap = float("inf")  # trust-region cap, shrinks on failures
+        K = max(1, int(self.cfg.device_steps))
+        chunk_fn = (jax.jit(partial(self._chunk, mesh, K), static_argnums=())
+                    if K > 1 else None)
+        single_left = 1         # the first step runs singly (sets initres);
+        #                         recoveries also force a few single steps
+        du_c = jnp.zeros_like(u)   # chunk-carried Newton direction
         while step < self.cfg.maxiter:
+            if chunk_fn is not None and single_left <= 0 and step > 0:
+                u_entry = u     # chunk-granular u_good fallback
+                carry, outs = chunk_fn(
+                    u, du_c, u_best, res_best, since_best, stall_count,
+                    cfl, cfl_cap, rtol, rtol_floor, raise_relres,
+                    res, resold, initres)
+                (u, du_c, u_best, res_bestj, since_bestj, stallj, cflj,
+                 cfl_capj, rtolj, rtol_floorj, raise_relresj, resj,
+                 resoldj, flagj, itersj, nstepsj) = carry
+                (res_bestv, since_best, stall_count, cfl, cfl_cap, rtol,
+                 rtol_floor, raise_relres, resv, resoldv, flag, iters_ch,
+                 n_ch), (res_h, cfl_h, flag_h) = jax.device_get(
+                    ((res_bestj, since_bestj, stallj, cflj, cfl_capj,
+                      rtolj, rtol_floorj, raise_relresj, resj, resoldj,
+                      flagj, itersj, nstepsj), outs))
+                res_best = float(res_bestv)
+                since_best, stall_count = int(since_best), int(stall_count)
+                cfl, cfl_cap = float(cfl), float(cfl_cap)
+                rtol, rtol_floor = float(rtol), float(rtol_floor)
+                raise_relres = float(raise_relres)
+                res, resold = float(resv), float(resoldv)
+                flag, n_ch = int(flag), int(n_ch)
+                info.total_lin_iters += int(iters_ch)
+                for k in range(n_ch):
+                    info.history.append((step + k + 1,
+                                         float(res_h[k]) / initres,
+                                         float(res_h[k]), float(cfl_h[k])))
+                    if logger:
+                        logger.log(step + k + 1,
+                                   float(res_h[k]) / initres,
+                                   float(res_h[k]), cfl=float(cfl_h[k]))
+                step += n_ch
+                if (self.checkpoint_path and self.checkpoint_every
+                        and flag in (0, 1)):
+                    from ..io_config.checkpoint import save_checkpoint
+                    save_checkpoint(self.checkpoint_path, u, step=step,
+                                    cfl=cfl, res=res, initres=initres,
+                                    extra={"rtol": rtol,
+                                           "rtol_floor": rtol_floor,
+                                           "raise_relres": raise_relres})
+                if flag == 1:            # converged inside the chunk
+                    break
+                if flag == 2:            # NaN or blowup: host recovery
+                    nan_retries += 1
+                    if nan_retries > 5:
+                        raise NumericalError(
+                            "implicit solve diverged: residual NaN/inf")
+                    if res_best < float("inf"):
+                        u = u_best
+                        res = resold = res_best
+                    else:
+                        u = u_entry
+                        res = resold
+                    cfl_cap = max(cfl * 0.25, 1.0)
+                    cfl = max(cfl * 0.1, 1.0)
+                    rtol = rtol_floor = self.lin.rtol
+                    omega_cap = 0.2
+                    du_c = jnp.zeros_like(u)
+                    du_prev = (jnp.zeros_like(u)
+                               if du_prev is not None else None)
+                    single_left = 5
+                    print(f"  BE: chunk anomaly, retrying from "
+                          f"{'best' if res_best < float('inf') else 'entry'}"
+                          f" state at CFL {cfl:.1f} (retry {nan_retries}/5)")
+                    continue
+                if flag == 3:            # frozen residual / limit cycle
+                    since_best = 0
+                    stall_count = 0
+                    if res_best < float("inf"):
+                        u = u_best
+                        res = resold = res_best
+                    rtol = rtol_floor = self.lin.rtol
+                    raise_relres = 0.0
+                    cfl = max(min(cfl, cfl_cap) * 0.5, 1.0)
+                    cfl_cap = max(cfl * 2.0, 1.0)
+                    du_c = jnp.zeros_like(u)
+                    single_left = 5
+                    print(f"  BE: chunk stall, restarting from best state "
+                          f"at CFL {cfl:.1f} with tight linear solves")
+                    continue
+                nan_retries = 0          # full healthy chunk
+                omega_cap = 1.0
+                continue
+            single_left -= 1
             if step > 0:
                 cfl = exp_residual_ramp(self.cfg.cfl_init, self.cfg.cfl_fin,
                                         cfl, resold / res, 0.25, 0.3)

@@ -127,3 +127,33 @@ def test_gmres_against_dense_solve():
                           restart=60, maxiter=60, rtol=1e-12)
     xd = np.linalg.solve(A, b.reshape(-1)).reshape(n, v)
     np.testing.assert_allclose(np.asarray(x), xd, rtol=1e-8, atol=1e-9)
+
+
+def test_chunked_device_stepping_matches_single_step():
+    """device_steps>1 runs the CFL ramp + forcing controller inside the
+    jitted program (lax.scan); the trajectory must match the single-step
+    host loop at the trajectory level (inexact Krylov solves make bitwise
+    equality across different XLA fusions impossible)."""
+    from fvens_tpu.solver.steady import SteadyBackwardEuler
+
+    md = cylinder_omesh(32, 12)
+    cm = compile_mesh(md, BCS, dtype=jnp.float64)
+    space = make_space(order2=True)
+    u0 = jnp.tile(space.uinf, (cm.NC, 1)).astype(jnp.float64)
+
+    def solve(K):
+        lin = LinearSolverConfig(restart=40, maxiter=40, rtol=1e-2,
+                                 pc="bsgs", pc_sweeps=4)
+        pt = PseudoTimeConfig(cfl_init=50.0, cfl_fin=2000.0, tol=1e-8,
+                              maxiter=200, device_steps=K)
+        be = SteadyBackwardEuler(space, pt, lin,
+                                 NonlinearUpdateConfig("full"))
+        return be.solve(cm, u0)
+
+    u1, i1 = solve(1)
+    u8, i8 = solve(8)
+    assert i1.converged and i8.converged
+    assert abs(i1.steps - i8.steps) <= max(5, 0.2 * i1.steps)
+    assert float(jnp.abs(u1 - u8).max()) < 1e-5
+    # history is recorded per step in both modes
+    assert len(i8.history) == i8.steps
