@@ -265,10 +265,15 @@ class SteadyBackwardEuler:
             cfl_cap = jnp.minimum(cfl_cap * 1.05, cfg.cfl_fin)
             cfl = jnp.minimum(cfl, cfl_cap)
             if lin.rtol_adapt:
+                # mirrors the host-loop forcing controller (far-gated floor
+                # ratchet; 100x-below decay) — see the host loop rationale
                 r2 = res / resold
                 grow = r2 > 1.2
                 prog = r2 <= 1.0
-                at_floor = rtol <= rtol_floor * 1.01
+                far = res / initres > 100.0 * cfg.tol
+                if cfg.tol_abs:
+                    far = far & (res > 100.0 * cfg.tol_abs)
+                at_floor = (rtol <= rtol_floor * 1.01) & far
                 floor_g = jnp.where(at_floor,
                                     jnp.minimum(rtol_floor * 4.0,
                                                 lin.rtol_max), rtol_floor)
@@ -311,7 +316,10 @@ class SteadyBackwardEuler:
             done = healthy & ((resj / initres <= cfg.tol)
                               | ((resj <= cfg.tol_abs) if cfg.tol_abs
                                  else False))
-            need_host = (stall >= 4) | (since_best >= 50)
+            # the since_best exit is armed only below initres — see the
+            # host-loop breaker comment (initial-transient false positive)
+            need_host = (stall >= 4) | ((since_best >= 50)
+                                        & (resj < initres))
             flag = jnp.where(~healthy, 2,
                              jnp.where(done, 1,
                                        jnp.where(need_host, 3, 0)))
@@ -372,7 +380,6 @@ class SteadyBackwardEuler:
                 # resumed solve in a residual limit cycle
                 rtol = float(ck.get("x_rtol", rtol))
                 rtol_floor = float(ck.get("x_rtol_floor", rtol_floor))
-                raise_relres = float(ck.get("x_raise_relres", raise_relres))
                 print(f"  resumed from {self.checkpoint_path} at step {step}")
         nan_retries = 0
         omega_cap = 1.0
@@ -429,8 +436,7 @@ class SteadyBackwardEuler:
                     save_checkpoint(self.checkpoint_path, u, step=step,
                                     cfl=cfl, res=res, initres=initres,
                                     extra={"rtol": rtol,
-                                           "rtol_floor": rtol_floor,
-                                           "raise_relres": raise_relres})
+                                           "rtol_floor": rtol_floor})
                 if flag == 1:            # converged inside the chunk
                     break
                 if flag == 2:            # NaN or blowup: host recovery
@@ -487,8 +493,17 @@ class SteadyBackwardEuler:
                     # TIGHTEN toward the configured floor for fast
                     # defect-correction convergence
                     ratio = res / resold
+                    # the floor ratchet (loosen to damp a nonlinear limit
+                    # cycle) must NOT fire near the convergence target:
+                    # there, loose directions cause the residual regrowth
+                    # they are meant to damp, and the raised floor can only
+                    # decay 100x below the cycle level — i.e. below the
+                    # target — deadlocking the endgame at ~10x the target
+                    far = res / initres > 100.0 * self.cfg.tol
+                    if self.cfg.tol_abs:
+                        far = far and res > 100.0 * self.cfg.tol_abs
                     if ratio > 1.2:        # significant growth: loosen
-                        if rtol <= rtol_floor * 1.01:
+                        if rtol <= rtol_floor * 1.01 and far:
                             # growth at the floor: tight solves drive a
                             # nonlinear limit cycle -> raise the floor
                             # (decays back once far below this level)
@@ -584,8 +599,12 @@ class SteadyBackwardEuler:
             # residual oscillation that never improves on the best state
             # (seen when a solve resumes deep into convergence); restart
             # from the best state with a tight, un-ratcheted controller and
-            # a halved CFL — a controller reset, not just a state rollback
-            if (since_best >= 50
+            # a halved CFL — a controller reset, not just a state rollback.
+            # Armed only once res < initres: during the initial transient
+            # the residual legitimately sits above the (freestream) first
+            # residual for many steps while the flow develops, and a
+            # rollback there would pin the solve at the initial state.
+            if (since_best >= 50 and res < initres
                     and res / initres > self.cfg.tol
                     and not (self.cfg.tol_abs and res <= self.cfg.tol_abs)):
                 since_best = 0
@@ -616,8 +635,7 @@ class SteadyBackwardEuler:
                 save_checkpoint(self.checkpoint_path, u, step=step, cfl=cfl,
                                 res=res, initres=initres,
                                 extra={"rtol": rtol,
-                                       "rtol_floor": rtol_floor,
-                                       "raise_relres": raise_relres})
+                                       "rtol_floor": rtol_floor})
             if (res / initres <= self.cfg.tol
                     or (self.cfg.tol_abs and res <= self.cfg.tol_abs)):
                 break
