@@ -140,11 +140,16 @@ class SteadyBackwardEuler:
             self._lines_cache = (key, lines_from_mesh(mesh))
         return self._lines_cache[1]
 
-    def _step(self, mesh, u, cfl, rtol, omega_cap=1.0, du0=None):
-        """One implicit pseudo-time step. `du0` (optional): previous step's
-        Newton direction, used as the Krylov initial guess when
-        lin.warm_start is set — late-phase systems change slowly, so the
-        old direction removes a large part of the new solution up front."""
+    def _step(self, mesh, u, cfl, rtol, omega_cap=1.0, du0=None,
+              return_du=False):
+        """One implicit pseudo-time step.
+
+        `du0` (optional): previous Newton direction as the Krylov initial
+        guess (lin.warm_start). `return_du` (static): also return the new
+        direction for the warm-start carry. Both default OFF, in which case
+        the traced program is EXACTLY the classic step — the default path's
+        XLA fusion (and therefore its floating-point trajectory) must not
+        change underneath converged regression cases."""
         rhs, dt = self.space.compute_residual(mesh, u, True)
 
         # mixed precision: the Newton DIRECTION tolerates f32 (it is just
@@ -196,8 +201,7 @@ class SteadyBackwardEuler:
 
         if du0 is not None:
             x0 = du0.astype(lrhs.dtype)
-            # a non-finite or wildly-scaled stale guess must never poison
-            # the solve: fall back to zero when the guess is bad
+            # a non-finite stale guess must never poison the solve
             x0 = jnp.where(jnp.isfinite(x0).all(), x0, jnp.zeros_like(x0))
         else:
             x0 = jnp.zeros_like(lrhs)
@@ -237,22 +241,24 @@ class SteadyBackwardEuler:
         ok = (jnp.isfinite(rhs).all() & jnp.isfinite(unew).all()
               & jnp.isfinite(relres) & jnp.isfinite(du).all())
         res = jnp.where(ok, residual_norm(mesh, rhs), jnp.nan)
-        return unew, res, iters, du
+        if return_du:
+            return unew, res, iters, du
+        return unew, res, iters
 
-    def _chunk(self, mesh, K, u, du, u_best, res_best, since_best, stall,
+    def _chunk(self, mesh, K, u, du, u_best, res_best, stall,
                cfl, cfl_cap, rtol, rtol_floor, raise_relres, res, resold,
                initres):
         """Run up to K pseudo-time steps fully on device (lax.scan): the CFL
         exp-residual ramp and the Krylov forcing controller are the same
-        arithmetic as the host loop in solve(), so the trajectory matches
-        the single-step path bit-for-bit on the happy path. Exits early
-        (flag != 0) on convergence (1), NaN/blowup (2), or frozen-residual /
-        limit-cycle conditions (3) that the host recovery logic handles.
+        arithmetic as the host loop in solve(). Exits early (flag != 0) on
+        convergence (1), NaN/blowup (2), or a frozen residual (3), which
+        the host recovery logic handles after syncing.
 
-        Syncing the residual to the host once per chunk instead of once per
-        step removes the per-launch host round trip (~24 ms over the axon
-        TPU tunnel — docs/BENCH_NOTES.md), which is a large fraction of
-        wall time on latency-bound (small-mesh) solves."""
+        Syncing once per chunk instead of once per step removes the
+        per-launch host round trip (~24 ms over the axon TPU tunnel), which
+        matters on latency-bound small-mesh solves; note the scan/cond
+        wrapping costs some XLA fusion quality (docs/BENCH_NOTES.md), so
+        this is opt-in via PseudoTimeConfig.device_steps."""
         sd = u.dtype
         cfg, lin = self.cfg, self.lin
         f = lambda x: jnp.asarray(x, sd)
@@ -265,15 +271,11 @@ class SteadyBackwardEuler:
             cfl_cap = jnp.minimum(cfl_cap * 1.05, cfg.cfl_fin)
             cfl = jnp.minimum(cfl, cfl_cap)
             if lin.rtol_adapt:
-                # mirrors the host-loop forcing controller (far-gated floor
-                # ratchet; 100x-below decay) — see the host loop rationale
+                # identical arithmetic to the host-loop forcing controller
                 r2 = res / resold
                 grow = r2 > 1.2
                 prog = r2 <= 1.0
-                far = res / initres > 100.0 * cfg.tol
-                if cfg.tol_abs:
-                    far = far & (res > 100.0 * cfg.tol_abs)
-                at_floor = (rtol <= rtol_floor * 1.01) & far
+                at_floor = rtol <= rtol_floor * 1.01
                 floor_g = jnp.where(at_floor,
                                     jnp.minimum(rtol_floor * 4.0,
                                                 lin.rtol_max), rtol_floor)
@@ -295,31 +297,31 @@ class SteadyBackwardEuler:
             return cfl, cfl_cap, rtol, rtol_floor, raise_relres
 
         def live(c):
-            (u, du, u_best, res_best, since_best, stall, cfl, cfl_cap,
+            (u, du, u_best, res_best, stall, cfl, cfl_cap,
              rtol, rtol_floor, raise_relres, res, resold, flag, iters,
              nsteps) = c
             cfl, cfl_cap, rtol, rtol_floor, raise_relres = controller(
                 cfl, cfl_cap, rtol, rtol_floor, raise_relres, res, resold)
-            u_new, resj, itj, du_new = self._step(
-                mesh, u, cfl, rtol, 1.0,
-                du if self.lin.warm_start else None)
+            if self.lin.warm_start:
+                u_new, resj, itj, du_new = self._step(mesh, u, cfl, rtol,
+                                                      1.0, du,
+                                                      return_du=True)
+            else:
+                u_new, resj, itj, du_new = self._step(mesh, u, cfl, rtol,
+                                                      1.0, return_du=True)
             finite = jnp.isfinite(resj)
             blown = finite & (resj > cfg.blowup_relres * initres)
             healthy = finite & ~blown
             improved = healthy & (resj < res_best)
             u_best = jnp.where(improved, u, u_best)
             res_best = jnp.where(improved, resj, res_best)
-            since_best = jnp.where(improved, 0, since_best + 1)
             frozen = healthy & (jnp.abs(resj / res - 1.0) < 1e-12) \
                 & (resj / initres > cfg.tol)
             stall = jnp.where(frozen, stall + 1, 0)
             done = healthy & ((resj / initres <= cfg.tol)
                               | ((resj <= cfg.tol_abs) if cfg.tol_abs
                                  else False))
-            # the since_best exit is armed only below initres — see the
-            # host-loop breaker comment (initial-transient false positive)
-            need_host = (stall >= 4) | ((since_best >= 50)
-                                        & (resj < initres))
+            need_host = stall >= 4
             flag = jnp.where(~healthy, 2,
                              jnp.where(done, 1,
                                        jnp.where(need_host, 3, 0)))
@@ -327,28 +329,31 @@ class SteadyBackwardEuler:
             du = jnp.where(healthy, du_new, jnp.zeros_like(du))
             resold = jnp.where(healthy, res, resold)
             i32 = jnp.int32
-            return (u, du, u_best, res_best, since_best.astype(i32),
-                    stall.astype(i32), cfl, cfl_cap, rtol, rtol_floor,
-                    raise_relres, resj, resold, flag.astype(i32),
-                    (iters + itj).astype(i32), (nsteps + 1).astype(i32))
+            return (u, du, u_best, res_best, stall.astype(i32), cfl,
+                    cfl_cap, rtol, rtol_floor, raise_relres, resj, resold,
+                    flag.astype(i32), (iters + itj).astype(i32),
+                    (nsteps + 1).astype(i32))
 
         def body(c, _):
-            flag = c[13]
+            flag = c[12]
             c = jax.lax.cond(flag != 0, lambda c: c, live, c)
-            return c, (c[11], c[6], c[13])        # (res, cfl, flag)
+            return c, (c[10], c[5], c[12])        # (res, cfl, flag)
 
-        carry = (u, du, u_best, f(res_best), jnp.asarray(since_best,
-                                                         jnp.int32),
-                 jnp.asarray(stall, jnp.int32), f(cfl), f(cfl_cap),
-                 f(rtol), f(rtol_floor), f(raise_relres), f(res), f(resold),
-                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-                 jnp.asarray(0, jnp.int32))
+        carry = (u, du, u_best, f(res_best), jnp.asarray(stall, jnp.int32),
+                 f(cfl), f(cfl_cap), f(rtol), f(rtol_floor), f(raise_relres),
+                 f(res), f(resold), jnp.asarray(0, jnp.int32),
+                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
         carry, outs = jax.lax.scan(body, carry, None, length=K)
         return carry, outs
 
     def solve(self, mesh, u0, log_every: int = 0, logger=None) -> tuple:
         self._lines(mesh)        # prewarm eagerly: see _lines docstring
-        step_fn = jax.jit(partial(self._step, mesh))
+        warm = self.lin.warm_start
+        # with warm start OFF (default) the traced step program is exactly
+        # the classic 3-output step: converged regression trajectories are
+        # float-sensitive, so the default program must stay bit-identical
+        step_fn = (jax.jit(partial(self._step, mesh, return_du=True))
+                   if warm else jax.jit(partial(self._step, mesh)))
         u = u0
         info = SolveInfo()
         t0 = time.perf_counter()
@@ -362,6 +367,7 @@ class SteadyBackwardEuler:
         rtol = 0.1 if self.lin.rtol_adapt else self.lin.rtol
         rtol_floor = self.lin.rtol
         raise_relres = 0.0    # relres level of the last floor raise
+        resumed_cap = 0.0
 
         # resume from a checkpoint if one exists (absent in the reference:
         # controlparser.hpp:24 parses init_soln_file but never implements it)
@@ -375,46 +381,49 @@ class SteadyBackwardEuler:
                 cfl = ck["cfl"] or cfl
                 res = resold = ck["res"] or 1.0
                 initres = ck["initres"] or 1.0
-                # restore the Krylov-forcing controller: restarting it loose
-                # (rtol 0.1) deep into convergence at high CFL can trap the
-                # resumed solve in a residual limit cycle
+                # restore the full controller state so the resumed solve
+                # CONTINUES the interrupted trajectory (restarting the
+                # forcing controller loose deep into convergence can trap
+                # a float-marginal case in a residual limit cycle)
                 rtol = float(ck.get("x_rtol", rtol))
                 rtol_floor = float(ck.get("x_rtol_floor", rtol_floor))
+                raise_relres = float(ck.get("x_raise_relres", 0.0))
+                resold = float(ck.get("x_resold", resold))
+                resumed_cap = float(ck.get("x_cfl_cap", 0.0))
                 print(f"  resumed from {self.checkpoint_path} at step {step}")
+
         nan_retries = 0
         omega_cap = 1.0
-        # Krylov warm start: carry the previous Newton direction as the next
-        # initial guess (None = feature off, keeps a single jit signature)
-        du_prev = jnp.zeros_like(u) if self.lin.warm_start else None
+        du_prev = jnp.zeros_like(u) if warm else None
         u_good = u            # last state whose residual evaluated healthy
         u_best, res_best = u, float("inf")   # lowest-residual state seen
-        since_best = 0        # steps since the best residual improved
         stall_count = 0
-        cfl_cap = float("inf")  # trust-region cap, shrinks on failures
+        # trust-region cap, shrinks on failures (restored across resume)
+        cfl_cap = resumed_cap if resumed_cap > 0 else float("inf")
         K = max(1, int(self.cfg.device_steps))
-        chunk_fn = (jax.jit(partial(self._chunk, mesh, K), static_argnums=())
+        chunk_fn = (jax.jit(partial(self._chunk, mesh, K))
                     if K > 1 else None)
         single_left = 1         # the first step runs singly (sets initres);
         #                         recoveries also force a few single steps
         du_c = jnp.zeros_like(u)   # chunk-carried Newton direction
         while step < self.cfg.maxiter:
             if chunk_fn is not None and single_left <= 0 and step > 0:
-                u_entry = u     # chunk-granular u_good fallback
+                u_entry = u     # chunk-granular rollback fallback
                 carry, outs = chunk_fn(
-                    u, du_c, u_best, res_best, since_best, stall_count,
+                    u, du_c, u_best, res_best, stall_count,
                     cfl, cfl_cap, rtol, rtol_floor, raise_relres,
                     res, resold, initres)
-                (u, du_c, u_best, res_bestj, since_bestj, stallj, cflj,
+                (u, du_c, u_best, res_bestj, stallj, cflj,
                  cfl_capj, rtolj, rtol_floorj, raise_relresj, resj,
                  resoldj, flagj, itersj, nstepsj) = carry
-                (res_bestv, since_best, stall_count, cfl, cfl_cap, rtol,
-                 rtol_floor, raise_relres, resv, resoldv, flag, iters_ch,
-                 n_ch), (res_h, cfl_h, flag_h) = jax.device_get(
-                    ((res_bestj, since_bestj, stallj, cflj, cfl_capj,
+                ((res_bestv, stall_count, cfl, cfl_cap, rtol,
+                  rtol_floor, raise_relres, resv, resoldv, flag, iters_ch,
+                  n_ch), (res_h, cfl_h, flag_h)) = jax.device_get(
+                    ((res_bestj, stallj, cflj, cfl_capj,
                       rtolj, rtol_floorj, raise_relresj, resj, resoldj,
                       flagj, itersj, nstepsj), outs))
                 res_best = float(res_bestv)
-                since_best, stall_count = int(since_best), int(stall_count)
+                stall_count = int(stall_count)
                 cfl, cfl_cap = float(cfl), float(cfl_cap)
                 rtol, rtol_floor = float(rtol), float(rtol_floor)
                 raise_relres = float(raise_relres)
@@ -436,7 +445,10 @@ class SteadyBackwardEuler:
                     save_checkpoint(self.checkpoint_path, u, step=step,
                                     cfl=cfl, res=res, initres=initres,
                                     extra={"rtol": rtol,
-                                           "rtol_floor": rtol_floor})
+                                           "rtol_floor": rtol_floor,
+                                           "raise_relres": raise_relres,
+                                           "resold": resold,
+                                           "cfl_cap": min(cfl_cap, 1e300)})
                 if flag == 1:            # converged inside the chunk
                     break
                 if flag == 2:            # NaN or blowup: host recovery
@@ -453,29 +465,26 @@ class SteadyBackwardEuler:
                     cfl_cap = max(cfl * 0.25, 1.0)
                     cfl = max(cfl * 0.1, 1.0)
                     rtol = rtol_floor = self.lin.rtol
+                    raise_relres = 0.0
                     omega_cap = 0.2
                     du_c = jnp.zeros_like(u)
-                    du_prev = (jnp.zeros_like(u)
-                               if du_prev is not None else None)
+                    if du_prev is not None:
+                        du_prev = jnp.zeros_like(u)
                     single_left = 5
                     print(f"  BE: chunk anomaly, retrying from "
                           f"{'best' if res_best < float('inf') else 'entry'}"
                           f" state at CFL {cfl:.1f} (retry {nan_retries}/5)")
                     continue
-                if flag == 3:            # frozen residual / limit cycle
-                    since_best = 0
+                if flag == 3:            # frozen residual (4x bit-identical)
+                    # same response as the single-step frozen-state guard
                     stall_count = 0
-                    if res_best < float("inf"):
-                        u = u_best
-                        res = resold = res_best
                     rtol = rtol_floor = self.lin.rtol
-                    raise_relres = 0.0
-                    cfl = max(min(cfl, cfl_cap) * 0.5, 1.0)
-                    cfl_cap = max(cfl * 2.0, 1.0)
+                    cfl_cap = max(cfl * 0.25, 1.0)
+                    cfl = max(cfl * 0.1, 1.0)
                     du_c = jnp.zeros_like(u)
                     single_left = 5
-                    print(f"  BE: chunk stall, restarting from best state "
-                          f"at CFL {cfl:.1f} with tight linear solves")
+                    print(f"  BE: frozen residual in chunk, dropping to CFL "
+                          f"{cfl:.1f} with tight linear solves")
                     continue
                 nan_retries = 0          # full healthy chunk
                 omega_cap = 1.0
@@ -493,17 +502,8 @@ class SteadyBackwardEuler:
                     # TIGHTEN toward the configured floor for fast
                     # defect-correction convergence
                     ratio = res / resold
-                    # the floor ratchet (loosen to damp a nonlinear limit
-                    # cycle) must NOT fire near the convergence target:
-                    # there, loose directions cause the residual regrowth
-                    # they are meant to damp, and the raised floor can only
-                    # decay 100x below the cycle level — i.e. below the
-                    # target — deadlocking the endgame at ~10x the target
-                    far = res / initres > 100.0 * self.cfg.tol
-                    if self.cfg.tol_abs:
-                        far = far and res > 100.0 * self.cfg.tol_abs
                     if ratio > 1.2:        # significant growth: loosen
-                        if rtol <= rtol_floor * 1.01 and far:
+                        if rtol <= rtol_floor * 1.01:
                             # growth at the floor: tight solves drive a
                             # nonlinear limit cycle -> raise the floor
                             # (decays back once far below this level)
@@ -523,8 +523,11 @@ class SteadyBackwardEuler:
                         rtol = max(rtol * 0.3, rtol_floor)
                     # small wobble (1.0 < ratio <= 1.2): hold
             u_prev = u
-            u, resj, itersj, du_prev = step_fn(u, cfl, rtol, omega_cap,
-                                               du_prev)
+            if warm:
+                u, resj, itersj, du_prev = step_fn(u, cfl, rtol, omega_cap,
+                                                   du_prev)
+            else:
+                u, resj, itersj = step_fn(u, cfl, rtol, omega_cap)
             resold = res
             res = float(resj)
             info.total_lin_iters += int(itersj)
@@ -539,9 +542,6 @@ class SteadyBackwardEuler:
                 u_good = u_prev
                 if res < res_best:
                     u_best, res_best = u_prev, res
-                    since_best = 0
-                else:
-                    since_best += 1
                 nan_retries = 0
                 omega_cap = 1.0
             if not finite or blown:
@@ -595,32 +595,6 @@ class SteadyBackwardEuler:
                           f"{cfl:.1f} with tight linear solves")
             else:
                 stall_count = 0
-            # limit-cycle breaker: the adaptive forcing can settle into a
-            # residual oscillation that never improves on the best state
-            # (seen when a solve resumes deep into convergence); restart
-            # from the best state with a tight, un-ratcheted controller and
-            # a halved CFL — a controller reset, not just a state rollback.
-            # Armed only once res < initres: during the initial transient
-            # the residual legitimately sits above the (freestream) first
-            # residual for many steps while the flow develops, and a
-            # rollback there would pin the solve at the initial state.
-            if (since_best >= 50 and res < initres
-                    and res / initres > self.cfg.tol
-                    and not (self.cfg.tol_abs and res <= self.cfg.tol_abs)):
-                since_best = 0
-                u = u_best
-                res = resold = res_best
-                rtol = rtol_floor = self.lin.rtol
-                raise_relres = 0.0
-                cfl = max(min(cfl, cfl_cap) * 0.5, 1.0)
-                cfl_cap = max(cfl * 2.0, 1.0)
-                if du_prev is not None:
-                    du_prev = jnp.zeros_like(u)
-                step += 1
-                print(f"  BE: no progress for 50 steps (limit cycle), "
-                      f"restarting from best state at CFL {cfl:.1f} with "
-                      f"tight linear solves")
-                continue
             if step == 0:
                 initres = res
                 resold = res
@@ -635,7 +609,10 @@ class SteadyBackwardEuler:
                 save_checkpoint(self.checkpoint_path, u, step=step, cfl=cfl,
                                 res=res, initres=initres,
                                 extra={"rtol": rtol,
-                                       "rtol_floor": rtol_floor})
+                                       "rtol_floor": rtol_floor,
+                                       "raise_relres": raise_relres,
+                                       "resold": resold,
+                                       "cfl_cap": min(cfl_cap, 1e300)})
             if (res / initres <= self.cfg.tol
                     or (self.cfg.tol_abs and res <= self.cfg.tol_abs)):
                 break

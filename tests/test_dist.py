@@ -180,7 +180,7 @@ def test_sharded_implicit_step_matches_single_device():
     cm = compile_mesh(md, BCS)
     be = SteadyBackwardEuler(space, PseudoTimeConfig(), lin, nl)
     u0 = jnp.tile(space.uinf, (cm.NC, 1))
-    u1, res1, it1, _ = be._step(cm, u0, jnp.asarray(50.0), jnp.asarray(1e-10))
+    u1, res1, it1 = be._step(cm, u0, jnp.asarray(50.0), jnp.asarray(1e-10))
 
     bundle = partition_mesh(md, BCS, ndev)
     sf = ShardedFlow(space=space, bundle=bundle, devices=jax.devices())
