@@ -87,8 +87,10 @@ def test_transonic_naca0012_muscl_line_reorder_regression(refdir):
 
     cfg = parse_control_file(
         str(refdir / "testcases/naca0012/transonic-sanity-test-muscl.ctrl"))
+    # the reordered trajectory's shock-tail decays slowly (~x0.8/25 steps
+    # at CFL 5000); measured convergence at 786 steps, budget with margin
     cfg = dataclasses.replace(
-        cfg, main=dataclasses.replace(cfg.main, maxiter=450))
+        cfg, main=dataclasses.replace(cfg.main, maxiter=900))
     md = read_mesh(str(refdir / "testcases/naca0012/grids/naca0012luo.msh"))
     md = apply_ordering(md, "line_rcm")
     mesh = compile_mesh(md, cfg.bcs)
