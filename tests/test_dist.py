@@ -225,3 +225,70 @@ def test_distributed_implicit_solve_converges():
                                     (cm.NC - cm.n_cells, 1))])))
     e2 = entropy_error(space, cm, us)
     assert abs(e1 - e2) < 1e-4 * max(abs(e2), 1e-10)
+
+
+def test_partition_restriction_matches_reference_goldens():
+    """Trivial-partition restriction vs the reference's committed goldens:
+    per-rank element distributions + cross-partition connectivity faces
+    (tests/common-input/testhybrid-distb_part{1,2,3}.dat) and the pre-split
+    local meshes (testhybrid_part{1,2,3}.msh) — the role of
+    tests/mesh/distributedmesh.cpp checkTrivial. The goldens use the
+    TRIVIAL partitioner (contiguous index blocks), which is deterministic,
+    so they validate our restriction machinery directly."""
+    import os
+    import re
+
+    from fvens_tpu.mesh.reader import read_mesh
+
+    refdir = "/root/reference/tests/common-input"
+    if not os.path.isdir(refdir):
+        pytest.skip("reference fixtures unavailable")
+
+    md = read_mesh(os.path.join(refdir, "testhybrid.msh"))
+    nparts = 3
+    part = np.arange(md.nelem, dtype=np.int32) * nparts // md.nelem
+    bcs = [BCSpec(marker=1, type="slipwall"),
+           BCSpec(marker=2, type="farfield")]
+    bundle = partition_mesh(md, bcs, nparts, part=part)
+
+    # global-face cross-partition adjacency (for the ConnFaces check)
+    from fvens_tpu.mesh.topology import build_topology
+    topo = build_topology(md)
+    fc = np.asarray(topo.f_cells)
+    interior = fc[:, 1] >= 0
+    pairs = fc[interior]
+
+    own_gid = np.asarray(bundle.own_gid)
+    for p in range(nparts):
+        txt = open(os.path.join(
+            refdir, f"testhybrid-distb_part{p + 1}.dat")).read()
+        head, conntxt = re.split(r"#Conn[Ff]aces", txt)
+        elems = [int(x) for x in head.split()[1:]]
+        conn = np.array([int(x) for x in conntxt.split()],
+                        dtype=np.int64).reshape(-1, 4)
+
+        n_own = int(bundle.own_counts[p])
+        own = own_gid[p][:n_own].tolist()
+        # golden: per-rank global element lists, in order
+        assert own == elems
+
+        # golden: the pre-split mesh's cells match our own cells' geometry
+        mdl = read_mesh(os.path.join(refdir,
+                                     f"testhybrid_part{p + 1}.msh"))
+        assert mdl.nelem == n_own
+        cent_gold = np.array([
+            mdl.coords[mdl.inpoel[i, : mdl.nnode[i]]].mean(axis=0)
+            for i in range(mdl.nelem)])
+        rc_loc = np.asarray(bundle.mesh.rc)[p][:n_own]
+        np.testing.assert_allclose(rc_loc, cent_gold, rtol=1e-12,
+                                   atol=1e-14)
+
+        # golden: cross-partition faces as (own local, nbr rank, nbr global)
+        want = {(int(r[0]), int(r[2]), int(r[3])) for r in conn}
+        got = set()
+        l_of = {g: i for i, g in enumerate(own)}
+        for a, b in pairs:
+            for s, o in ((a, b), (b, a)):
+                if part[s] == p and part[o] != p:
+                    got.add((l_of[int(s)], int(part[o]), int(o)))
+        assert got == want
