@@ -20,6 +20,10 @@ def main(argv=None) -> int:
     ap.add_argument("control_file")
     ap.add_argument("--mesh_file", default=None,
                     help="override the control file's mesh")
+    ap.add_argument("-options_file", "--options_file", default=None,
+                    help="PETSc-style .solverc options file (the reference's "
+                         "-options_file flag): ksp/pc settings are mapped "
+                         "onto the TPU-native linear solver")
     ap.add_argument("--platform", default=None,
                     help="jax platform override (cpu, tpu, ...)")
     ap.add_argument("--f32", action="store_true",
@@ -54,9 +58,21 @@ def main(argv=None) -> int:
     from .casesolvers import SteadyFlowCase, build_space
     from ..output import surface_data, entropy_error
 
+    import dataclasses as _dc
     cfg = parse_control_file(args.control_file, mesh_file=args.mesh_file)
+    if args.options_file:
+        from ..io_config.solverc import load_solver_options
+        lin, reorder = load_solver_options(
+            args.options_file, base=cfg.linear,
+            warn=lambda m: print(f"fvens_tpu: {m}"))
+        cfg = _dc.replace(cfg, linear=lin)
+        if args.mesh_reorder == "none" and reorder:
+            args.mesh_reorder = reorder
+        print(f"fvens_tpu: solver options from {args.options_file}: "
+              f"pc={lin.pc}, restart={lin.restart}, maxiter={lin.maxiter}, "
+              f"rtol={lin.rtol}"
+              + (f", reorder={reorder}" if reorder else ""))
     if args.checkpoint:
-        import dataclasses as _dc
         cfg = _dc.replace(cfg, checkpoint_path=args.checkpoint)
     dtype = jnp.float32 if args.f32 else jnp.float64
 

@@ -105,6 +105,13 @@ class PseudoTimeConfig:
     maxiter: int = 500
     stepping: str = "implicit"         # implicit | explicit
     use_local_dt: bool = True
+    cfl_ramp: str = "exp"              # exp: residual-based ramp (reference
+    #                                    default, aodesolver.cpp:110-120);
+    #                                    linear: step-indexed linear ramp
+    #                                    (SteadySolver::linearRamp,
+    #                                    aodesolver.cpp:88-108)
+    rampstart: int = 0                 # linear ramp: step CFL leaves cfl_init
+    rampend: int = 0                   # linear ramp: step CFL reaches cfl_fin
     device_steps: int = 1              # pseudo-time steps per device
     #                                    program launch: >1 runs the CFL
     #                                    ramp + Krylov forcing controller
@@ -138,8 +145,15 @@ class LinearSolverConfig:
     #                                    the outer iteration stalls (damping),
     #                                    tight while it converges
     rtol_max: float = 0.2
-    pc: str = "bcsgs"                  # none | bjacobi | bsgs | bcsgs
+    pc: str = "bcsgs"                  # none | bjacobi | bsgs | bcsgs |
+    #                                    bline | amg
     pc_sweeps: int = 3                 # sweeps for iterative PCs
+    # pc='amg' (aggregation multigrid, solver/multigrid.py) options:
+    mg_levels: int = 3                 # coarsening steps in the hierarchy
+    mg_nu1: int = 2                    # pre-smoothing sweeps per level
+    mg_nu2: int = 2                    # post-smoothing sweeps per level
+    mg_coarse_sweeps: int = 10         # smoother sweeps on the coarsest level
+    mg_cycles: int = 1                 # V-cycles per preconditioner apply
     matrix_free: bool = False
     matrix_free_fd: bool = False       # matrix-free matvec via the
     #                                    reference's eps/||x|| finite

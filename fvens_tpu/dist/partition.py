@@ -103,6 +103,77 @@ def greedy_partition(esuel: np.ndarray, nfael: np.ndarray, nparts: int
     return part
 
 
+def edge_cut(esuel: np.ndarray, nfael: np.ndarray, part: np.ndarray) -> int:
+    """Number of adjacency edges crossing partition boundaries (each
+    undirected edge counted once) — the quality metric Scotch minimizes in
+    the reference (meshpartitioning.cpp:432-461)."""
+    nelem = esuel.shape[0]
+    cut = 0
+    for k in range(esuel.shape[1]):
+        nb = esuel[:, k]
+        valid = (np.arange(nelem) < nelem) & (nb >= 0) & (nb < nelem) \
+            & (np.arange(nelem) < nb)       # count each pair once
+        valid &= k < nfael
+        cut += int((part[np.flatnonzero(valid)]
+                    != part[nb[np.flatnonzero(valid)]]).sum())
+    return cut
+
+
+def refine_partition(esuel: np.ndarray, nfael: np.ndarray,
+                     part: np.ndarray, nparts: int, max_passes: int = 8,
+                     imbalance: float = 1.1) -> np.ndarray:
+    """Greedy KL/FM-style boundary refinement: repeatedly move boundary
+    cells to the neighbouring part with the largest positive edge-cut gain,
+    under a size-balance constraint. Plays the role of Scotch's recursive
+    refinement on top of the BFS growth (the reference delegates both to
+    Scotch, meshpartitioning.cpp:432-461); monotone in the cut, so it can
+    only improve the halo volume of the ppermute schedule."""
+    nelem = esuel.shape[0]
+    maxnf = esuel.shape[1]
+    part = part.copy()
+    counts = np.bincount(part, minlength=nparts)
+    target = nelem / nparts
+    lo = int(np.floor(target / imbalance))
+    hi = int(np.ceil(target * imbalance))
+
+    slot_valid = (np.arange(maxnf)[None, :] < np.asarray(nfael)[:, None])
+    nb = np.where(slot_valid, esuel, -1)
+    nb_ok = (nb >= 0) & (nb < nelem)
+
+    for _ in range(max_passes):
+        nbp = np.where(nb_ok, part[np.clip(nb, 0, nelem - 1)], -1)
+        own = part[:, None]
+        boundary = ((nbp >= 0) & (nbp != own)).any(axis=1)
+        cand_cells = np.flatnonzero(boundary)
+        moved = 0
+        for c in cand_cells:
+            p0 = part[c]
+            if counts[p0] <= lo:
+                continue
+            # per-slot neighbour parts of c (recomputed against the live
+            # part array so sequential moves never thrash)
+            qs = [part[esuel[c, k]] for k in range(nfael[c])
+                  if 0 <= esuel[c, k] < nelem]
+            if not qs:
+                continue
+            d_own = sum(q == p0 for q in qs)
+            best_q, best_gain = -1, 0
+            for q in set(qs):
+                if q == p0 or counts[q] >= hi:
+                    continue
+                gain = sum(x == q for x in qs) - d_own
+                if gain > best_gain:
+                    best_q, best_gain = q, gain
+            if best_q >= 0:
+                part[c] = best_q
+                counts[p0] -= 1
+                counts[best_q] += 1
+                moved += 1
+        if moved == 0:
+            break
+    return part
+
+
 def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
                    part: np.ndarray | None = None) -> ShardedMeshBundle:
     topo = build_topology(md)
@@ -113,7 +184,12 @@ def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
     nelem, nb = topo.nelem, topo.nbface
 
     if part is None:
-        part = greedy_partition(topo.esuel, np.asarray(topo.nfael), nparts)
+        nfael = np.asarray(topo.nfael)
+        part = greedy_partition(topo.esuel, nfael, nparts)
+        # KL/FM boundary refinement on top of the BFS growth: the quality
+        # role of Scotch in the reference (meshpartitioning.cpp:432-461) —
+        # monotone in the edge cut, so halo volume only shrinks
+        part = refine_partition(topo.esuel, nfael, part, nparts)
 
     fc = topo.f_cells
     fr = fc[:, 1].copy()

@@ -57,6 +57,14 @@ def _load():
             np.ctypeslib.ndpointer(np.uint8, flags="C"),
             np.ctypeslib.ndpointer(np.int64, flags="C"),
         ]
+        lib.fvens_pairwise_aggregate.restype = ctypes.c_int64
+        lib.fvens_pairwise_aggregate.argtypes = [
+            ctypes.c_int64, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+        ]
         lib.fvens_greedy_partition.restype = None
         lib.fvens_greedy_partition.argtypes = [
             ctypes.c_int64, ctypes.c_int32,
@@ -87,6 +95,22 @@ def greedy_coloring_native(cell_nbrs, nbr_mask, active):
         np.ascontiguousarray(active, dtype=np.uint8),
         color)
     return color, int(nc)
+
+
+def pairwise_aggregate_native(nbrs, mask, w, n_real):
+    """Returns (agg (n_real,) int64, n_agg) or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    maxnf = nbrs.shape[1]
+    agg = np.empty(n_real, dtype=np.int64)
+    na = lib.fvens_pairwise_aggregate(
+        n_real, maxnf,
+        np.ascontiguousarray(nbrs[:n_real], dtype=np.int64),
+        np.ascontiguousarray(mask[:n_real], dtype=np.float64),
+        np.ascontiguousarray(w[:n_real], dtype=np.float64),
+        agg)
+    return agg, int(na)
 
 
 def greedy_partition_native(esuel, nfael, nparts):

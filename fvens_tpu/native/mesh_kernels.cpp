@@ -82,6 +82,36 @@ void fvens_greedy_partition(int64_t nelem, int32_t maxnf,
         if (part[i] < 0) part[i] = nparts - 1;
 }
 
+// Greedy strongest-neighbour pairwise matching (one aggregation pass of
+// the AMG hierarchy build, solver/multigrid.py). Visit order = index order.
+//  nbrs: (n, maxnf) int64 neighbour ids (may exceed n for ghost slots)
+//  mask: (n, maxnf) float64 > 0 for real in-range neighbours
+//  w:    (n, maxnf) float64 coupling strength
+//  agg out: (n,) int64 aggregate id
+// Returns number of aggregates.
+int64_t fvens_pairwise_aggregate(int64_t n, int32_t maxnf,
+                                 const int64_t* nbrs, const double* mask,
+                                 const double* w, int64_t* agg) {
+    for (int64_t c = 0; c < n; ++c) agg[c] = -1;
+    int64_t na = 0;
+    for (int64_t c = 0; c < n; ++c) {
+        if (agg[c] >= 0) continue;
+        int64_t best = -1;
+        double bw = 0.0;
+        for (int32_t k = 0; k < maxnf; ++k) {
+            if (mask[c * maxnf + k] <= 0) continue;
+            int64_t nb = nbrs[c * maxnf + k];
+            if (nb < 0 || nb >= n || agg[nb] >= 0) continue;
+            double wk = w[c * maxnf + k];
+            if (wk > bw) { best = nb; bw = wk; }
+        }
+        agg[c] = na;
+        if (best >= 0) agg[best] = na;
+        ++na;
+    }
+    return na;
+}
+
 // Element->face incidence for a local (partitioned) cell set.
 // For each local cell li (global id allc[li]) and local face slot k:
 //   gf = elemface(allc[li], k); lf = gf2lf[gf]

@@ -110,7 +110,8 @@ def _inv4(M):
 
 
 def make_preconditioner(mesh, jac: BlockJacobian, kind: str = "bjacobi",
-                        sweeps: int = 4, lines=None) -> Callable:
+                        sweeps: int = 4, lines=None, mg=None,
+                        mg_opts=None) -> Callable:
     """Returns pc(v) ~= J^-1 v.
 
     bjacobi: z = D^-1 v (the reference default bjacobi+ILU0 analogue at
@@ -146,6 +147,11 @@ def make_preconditioner(mesh, jac: BlockJacobian, kind: str = "bjacobi",
         if lines is None:
             raise ValueError("pc='bline' needs a LineStructure")
         return make_line_smoother(mesh, jac, lines, sweeps)
+    if kind == "amg":
+        if mg is None:
+            raise ValueError("pc='amg' needs an MGHierarchy")
+        from .multigrid import make_mg_preconditioner
+        return make_mg_preconditioner(mesh, jac, mg, **(mg_opts or {}))
     raise ValueError(f"unknown preconditioner '{kind}'")
 
 

@@ -67,6 +67,70 @@ def exp_residual_ramp(cflmin, cflmax, prevcfl, resratio, pup, pdown):
     return float(min(max(newcfl, cflmin), cflmax))
 
 
+def linear_ramp(cstart, cend, itstart, itend, itcur):
+    """Step-indexed linear CFL ramp (SteadySolver::linearRamp,
+    aodesolver.cpp:88-108), host scalars."""
+    if itcur < itstart:
+        return float(cstart)
+    if itcur < itend:
+        if itend - itstart <= 0:
+            return float(cend)
+        slope = (cend - cstart) / (itend - itstart)
+        return float(cstart + slope * (itcur - itstart))
+    return float(cend)
+
+
+def controller_advance(cfg, lin, xp, cfl, cfl_cap, rtol, rtol_floor,
+                       raise_relres, res, resold, initres, ramped_cfl=None):
+    """One CFL-ramp + trust-region-cap + Krylov-forcing controller update.
+
+    THE single source of truth for the per-step controller arithmetic,
+    evaluated by BOTH the host loop (xp=numpy on concrete f64 scalars) and
+    the chunked on-device controller (xp=jnp under trace): the two paths
+    cannot drift. All ops (pow, min/max, clip, where-selects) produce
+    bit-identical IEEE doubles in either module.
+
+    ramped_cfl: pre-computed CFL (the step-indexed linear ramp) replacing
+    the exponential residual-based ramp; the trust-region cap still applies.
+
+    Forcing controller: residual growth or stall -> LOOSEN the Krylov
+    tolerance (inexact solves damp nonlinear limit cycles); steady progress
+    -> TIGHTEN toward the configured floor. Growth AT the floor raises the
+    floor (a ratchet); the floor decays back once the residual falls 100x
+    below the level where the limit cycle lived, else the loose directions
+    stall the deep-convergence endgame near the precision floor.
+    """
+    ratio = resold / res
+    if ramped_cfl is None:
+        p = xp.where(ratio > 1.0, 0.25, 0.3)
+        cfl = xp.clip(cfl * ratio ** p, cfg.cfl_init, cfg.cfl_fin)
+    else:
+        cfl = ramped_cfl
+    cfl_cap = xp.minimum(cfl_cap * 1.05, cfg.cfl_fin)
+    cfl = xp.minimum(cfl, cfl_cap)
+    if lin.rtol_adapt:
+        r2 = res / resold
+        grow = r2 > 1.2
+        prog = r2 <= 1.0
+        at_floor = rtol <= rtol_floor * 1.01
+        floor_g = xp.where(at_floor,
+                           xp.minimum(rtol_floor * 4.0, lin.rtol_max),
+                           rtol_floor)
+        raise_g = xp.where(at_floor,
+                           xp.maximum(raise_relres, res / initres),
+                           raise_relres)
+        rtol_g = xp.minimum(xp.maximum(rtol * 2.0, floor_g), lin.rtol_max)
+        floor_p = xp.where(res / initres < 1e-2 * raise_relres,
+                           xp.maximum(lin.rtol, rtol_floor * 0.7),
+                           rtol_floor)
+        rtol_p = xp.maximum(rtol * 0.3, floor_p)
+        rtol_floor = xp.where(grow, floor_g,
+                              xp.where(prog, floor_p, rtol_floor))
+        raise_relres = xp.where(grow, raise_g, raise_relres)
+        rtol = xp.where(grow, rtol_g, xp.where(prog, rtol_p, rtol))
+    return cfl, cfl_cap, rtol, rtol_floor, raise_relres
+
+
 @dataclasses.dataclass
 class SteadyForwardEuler:
     space: object                   # FlowFV or DiffusionFV
@@ -80,7 +144,11 @@ class SteadyForwardEuler:
         return unew, residual_norm(mesh, rhs)
 
     def solve(self, mesh, u0, log_every: int = 0, logger=None) -> tuple:
-        step_fn = jax.jit(partial(self._step, mesh))
+        # the mesh is a jit ARGUMENT (CompiledMesh is a registered pytree),
+        # not a closed-over constant: baking O(mesh) arrays into the XLA
+        # program as literals makes the program size grow with the mesh,
+        # which capped usable meshes at ~205k cells (round-2 finding)
+        step_fn = jax.jit(self._step)
         u = u0
         info = SolveInfo()
         t0 = time.perf_counter()
@@ -90,7 +158,7 @@ class SteadyForwardEuler:
             from ..io_config.logs import ConvergenceLogger
             logger = ConvergenceLogger(print_every=log_every, label="FE")
         while step < self.cfg.maxiter:
-            u, resj = step_fn(u)
+            u, resj = step_fn(mesh, u)
             res = float(resj)
             if not np.isfinite(res):
                 raise NumericalError("explicit solve diverged: residual NaN/inf")
@@ -133,15 +201,44 @@ class SteadyBackwardEuler:
         solve() prewarms the cache eagerly before jitting the step."""
         if self.lin.pc != "bline":
             return None
-        key = id(mesh)
         cache = getattr(self, "_lines_cache", None)
+        if isinstance(mesh.area, jax.core.Tracer):
+            # called during tracing (the mesh is a jit argument now): the
+            # host line-detection pass cannot run on tracers — use the
+            # structure prewarmed by solve(). The LineStructure arrays stay
+            # closed-over constants (program size O(mesh) for pc='bline'
+            # only; the default pcs keep the O(1)-size program).
+            if cache is None:
+                raise RuntimeError(
+                    "pc='bline' line cache not prewarmed before tracing")
+            return cache[1]
+        key = id(mesh)
         if cache is None or cache[0] != key:
             from .lines import lines_from_mesh
             self._lines_cache = (key, lines_from_mesh(mesh))
         return self._lines_cache[1]
 
+    def _mg(self, mesh):
+        """Host-side AMG hierarchy build, cached per mesh (pc='amg' only).
+        Passed to _step as a jit ARGUMENT (integer pytree), so the compiled
+        program stays O(1) in the mesh size."""
+        if self.lin.pc != "amg":
+            return None
+        cache = getattr(self, "_mg_cache", None)
+        key = id(mesh)
+        if cache is None or cache[0] != key:
+            from .multigrid import build_hierarchy
+            self._mg_cache = (key, build_hierarchy(
+                mesh, n_levels=self.lin.mg_levels))
+        return self._mg_cache[1]
+
+    def _mg_opts(self):
+        return dict(nu1=self.lin.mg_nu1, nu2=self.lin.mg_nu2,
+                    coarse_sweeps=self.lin.mg_coarse_sweeps,
+                    cycles=self.lin.mg_cycles)
+
     def _step(self, mesh, u, cfl, rtol, omega_cap=1.0, du0=None,
-              return_du=False):
+              return_du=False, lmesh=None, mg=None):
         """One implicit pseudo-time step.
 
         `du0` (optional): previous Newton direction as the Krylov initial
@@ -149,7 +246,12 @@ class SteadyBackwardEuler:
         direction for the warm-start carry. Both default OFF, in which case
         the traced program is EXACTLY the classic step — the default path's
         XLA fusion (and therefore its floating-point trajectory) must not
-        change underneath converged regression cases."""
+        change underneath converged regression cases.
+
+        `lmesh` (optional): precomputed low-precision mesh for the mixed-
+        precision path. With the mesh as a jit argument (not a baked
+        constant) the f32 cast is no longer free at compile time, so solve()
+        casts once on the host and threads the copy through here."""
         rhs, dt = self.space.compute_residual(mesh, u, True)
 
         # mixed precision: the Newton DIRECTION tolerates f32 (it is just
@@ -159,7 +261,7 @@ class SteadyBackwardEuler:
         mixed = (self.lin.mixed_precision
                  and u.dtype == jnp.float64)
         if mixed:
-            lmesh = mesh.astype(jnp.float32)
+            lmesh = mesh.astype(jnp.float32) if lmesh is None else lmesh
             lu = u.astype(jnp.float32)
             lrhs = rhs.astype(jnp.float32)
             lcfl = jnp.asarray(cfl, jnp.float32)
@@ -171,7 +273,8 @@ class SteadyBackwardEuler:
         jac = jacmod.add_pseudotime_term(lmesh, jac, lcfl, ldt)
 
         pc = make_preconditioner(lmesh, jac, self.lin.pc, self.lin.pc_sweeps,
-                                 lines=self._lines(mesh))
+                                 lines=self._lines(mesh), mg=mg,
+                                 mg_opts=self._mg_opts())
         if self.lin.matrix_free:
             diag = (mesh.area / (cfl * dt) * mesh.cell_mask)[:, None]
 
@@ -245,9 +348,9 @@ class SteadyBackwardEuler:
             return unew, res, iters, du
         return unew, res, iters
 
-    def _chunk(self, mesh, K, u, du, u_best, res_best, stall,
+    def _chunk(self, K, mesh, u, du, u_best, res_best, stall,
                cfl, cfl_cap, rtol, rtol_floor, raise_relres, res, resold,
-               initres):
+               initres, lmesh=None, mg=None):
         """Run up to K pseudo-time steps fully on device (lax.scan): the CFL
         exp-residual ramp and the Krylov forcing controller are the same
         arithmetic as the host loop in solve(). Exits early (flag != 0) on
@@ -263,52 +366,25 @@ class SteadyBackwardEuler:
         cfg, lin = self.cfg, self.lin
         f = lambda x: jnp.asarray(x, sd)
 
-        def controller(cfl, cfl_cap, rtol, rtol_floor, raise_relres,
-                       res, resold):
-            ratio = resold / res
-            p = jnp.where(ratio > 1.0, 0.25, 0.3)
-            cfl = jnp.clip(cfl * ratio ** p, cfg.cfl_init, cfg.cfl_fin)
-            cfl_cap = jnp.minimum(cfl_cap * 1.05, cfg.cfl_fin)
-            cfl = jnp.minimum(cfl, cfl_cap)
-            if lin.rtol_adapt:
-                # identical arithmetic to the host-loop forcing controller
-                r2 = res / resold
-                grow = r2 > 1.2
-                prog = r2 <= 1.0
-                at_floor = rtol <= rtol_floor * 1.01
-                floor_g = jnp.where(at_floor,
-                                    jnp.minimum(rtol_floor * 4.0,
-                                                lin.rtol_max), rtol_floor)
-                raise_g = jnp.where(at_floor,
-                                    jnp.maximum(raise_relres, res / initres),
-                                    raise_relres)
-                rtol_g = jnp.minimum(jnp.maximum(rtol * 2.0, floor_g),
-                                     lin.rtol_max)
-                floor_p = jnp.where(res / initres < 1e-2 * raise_relres,
-                                    jnp.maximum(f(lin.rtol),
-                                                rtol_floor * 0.7),
-                                    rtol_floor)
-                rtol_p = jnp.maximum(rtol * 0.3, floor_p)
-                rtol_floor = jnp.where(grow, floor_g,
-                                       jnp.where(prog, floor_p, rtol_floor))
-                raise_relres = jnp.where(grow, raise_g, raise_relres)
-                rtol = jnp.where(grow, rtol_g,
-                                 jnp.where(prog, rtol_p, rtol))
-            return cfl, cfl_cap, rtol, rtol_floor, raise_relres
-
         def live(c):
             (u, du, u_best, res_best, stall, cfl, cfl_cap,
              rtol, rtol_floor, raise_relres, res, resold, flag, iters,
              nsteps) = c
-            cfl, cfl_cap, rtol, rtol_floor, raise_relres = controller(
-                cfl, cfl_cap, rtol, rtol_floor, raise_relres, res, resold)
+            # the SAME controller arithmetic as the host loop, by
+            # construction: one shared function (controller_advance)
+            cfl, cfl_cap, rtol, rtol_floor, raise_relres = \
+                controller_advance(cfg, lin, jnp, cfl, cfl_cap, rtol,
+                                   rtol_floor, raise_relres, res, resold,
+                                   initres)
             if self.lin.warm_start:
                 u_new, resj, itj, du_new = self._step(mesh, u, cfl, rtol,
                                                       1.0, du,
-                                                      return_du=True)
+                                                      return_du=True,
+                                                      lmesh=lmesh, mg=mg)
             else:
                 u_new, resj, itj, du_new = self._step(mesh, u, cfl, rtol,
-                                                      1.0, return_du=True)
+                                                      1.0, return_du=True,
+                                                      lmesh=lmesh, mg=mg)
             finite = jnp.isfinite(resj)
             blown = finite & (resj > cfg.blowup_relres * initres)
             healthy = finite & ~blown
@@ -348,12 +424,19 @@ class SteadyBackwardEuler:
 
     def solve(self, mesh, u0, log_every: int = 0, logger=None) -> tuple:
         self._lines(mesh)        # prewarm eagerly: see _lines docstring
+        mg = self._mg(mesh)      # AMG hierarchy (host build, jit argument)
         warm = self.lin.warm_start
         # with warm start OFF (default) the traced step program is exactly
         # the classic 3-output step: converged regression trajectories are
-        # float-sensitive, so the default program must stay bit-identical
-        step_fn = (jax.jit(partial(self._step, mesh, return_du=True))
-                   if warm else jax.jit(partial(self._step, mesh)))
+        # float-sensitive, so the default program must stay bit-identical.
+        # The mesh (and its precomputed f32 copy for the mixed-precision
+        # Krylov phase) is a jit ARGUMENT: baking O(mesh) literals into the
+        # program made program size scale with the mesh and capped usable
+        # meshes at ~205k cells (round-2 finding, docs/BENCH_NOTES.md)
+        step_fn = (jax.jit(partial(self._step, return_du=True))
+                   if warm else jax.jit(self._step))
+        mixed = self.lin.mixed_precision and u0.dtype == jnp.float64
+        lmesh = mesh.astype(jnp.float32) if mixed else mesh
         u = u0
         info = SolveInfo()
         t0 = time.perf_counter()
@@ -401,8 +484,10 @@ class SteadyBackwardEuler:
         # trust-region cap, shrinks on failures (restored across resume)
         cfl_cap = resumed_cap if resumed_cap > 0 else float("inf")
         K = max(1, int(self.cfg.device_steps))
-        chunk_fn = (jax.jit(partial(self._chunk, mesh, K))
-                    if K > 1 else None)
+        # the chunked device-side controller implements the exp ramp only;
+        # the (step-indexed) linear ramp runs through the host loop
+        chunk_fn = (jax.jit(partial(self._chunk, K))
+                    if K > 1 and self.cfg.cfl_ramp == "exp" else None)
         single_left = 1         # the first step runs singly (sets initres);
         #                         recoveries also force a few single steps
         du_c = jnp.zeros_like(u)   # chunk-carried Newton direction
@@ -410,9 +495,9 @@ class SteadyBackwardEuler:
             if chunk_fn is not None and single_left <= 0 and step > 0:
                 u_entry = u     # chunk-granular rollback fallback
                 carry, outs = chunk_fn(
-                    u, du_c, u_best, res_best, stall_count,
+                    mesh, u, du_c, u_best, res_best, stall_count,
                     cfl, cfl_cap, rtol, rtol_floor, raise_relres,
-                    res, resold, initres)
+                    res, resold, initres, lmesh=lmesh, mg=mg)
                 (u, du_c, u_best, res_bestj, stallj, cflj,
                  cfl_capj, rtolj, rtol_floorj, raise_relresj, resj,
                  resoldj, flagj, itersj, nstepsj) = carry
@@ -491,43 +576,23 @@ class SteadyBackwardEuler:
                 continue
             single_left -= 1
             if step > 0:
-                cfl = exp_residual_ramp(self.cfg.cfl_init, self.cfg.cfl_fin,
-                                        cfl, resold / res, 0.25, 0.3)
-                cfl_cap = min(cfl_cap * 1.05, self.cfg.cfl_fin)
-                cfl = min(cfl, cfl_cap)
-                if self.lin.rtol_adapt:
-                    # multiplicative forcing controller: residual growth or
-                    # stall -> LOOSEN the Krylov tolerance (inexact solves
-                    # damp nonlinear limit cycles); steady progress ->
-                    # TIGHTEN toward the configured floor for fast
-                    # defect-correction convergence
-                    ratio = res / resold
-                    if ratio > 1.2:        # significant growth: loosen
-                        if rtol <= rtol_floor * 1.01:
-                            # growth at the floor: tight solves drive a
-                            # nonlinear limit cycle -> raise the floor
-                            # (decays back once far below this level)
-                            rtol_floor = min(rtol_floor * 4.0,
-                                             self.lin.rtol_max)
-                            raise_relres = max(raise_relres, res / initres)
-                        rtol = min(max(rtol * 2.0, rtol_floor),
-                                   self.lin.rtol_max)
-                    elif ratio <= 1.0:     # progress: tighten fast
-                        # decay a previously-raised floor, but only 100x
-                        # below the residual level where the limit cycle
-                        # lived: left permanently loose, the ratchet stalls
-                        # the deep-convergence endgame in a sloppy-direction
-                        # wobble near the precision floor
-                        if res / initres < 1e-2 * raise_relres:
-                            rtol_floor = max(self.lin.rtol, rtol_floor * 0.7)
-                        rtol = max(rtol * 0.3, rtol_floor)
-                    # small wobble (1.0 < ratio <= 1.2): hold
+                rc = (linear_ramp(self.cfg.cfl_init, self.cfg.cfl_fin,
+                                  self.cfg.rampstart, self.cfg.rampend,
+                                  step)
+                      if self.cfg.cfl_ramp == "linear" else None)
+                cfl, cfl_cap, rtol, rtol_floor, raise_relres = [
+                    float(x) for x in controller_advance(
+                        self.cfg, self.lin, np, cfl, cfl_cap, rtol,
+                        rtol_floor, raise_relres, res, resold, initres,
+                        ramped_cfl=rc)]
             u_prev = u
             if warm:
-                u, resj, itersj, du_prev = step_fn(u, cfl, rtol, omega_cap,
-                                                   du_prev)
+                u, resj, itersj, du_prev = step_fn(mesh, u, cfl, rtol,
+                                                   omega_cap, du_prev,
+                                                   lmesh=lmesh, mg=mg)
             else:
-                u, resj, itersj = step_fn(u, cfl, rtol, omega_cap)
+                u, resj, itersj = step_fn(mesh, u, cfl, rtol, omega_cap,
+                                          lmesh=lmesh, mg=mg)
             resold = res
             res = float(resj)
             info.total_lin_iters += int(itersj)

@@ -7,7 +7,6 @@ Reference: FVENS src/ode/aodesolver.cpp:45-67 (coefficient table) and
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -47,12 +46,14 @@ class TVDRKSolver:
         return ustage, dtg
 
     def solve(self, mesh, u0, final_time: float):
-        step_fn = jax.jit(partial(self._step, mesh))
+        # mesh passed as a jit argument (not a baked constant): keeps the
+        # compiled program O(1) in mesh size (see SteadyBackwardEuler.solve)
+        step_fn = jax.jit(self._step)
         u = u0
         t = 0.0
         nsteps = 0
         while t < final_time - 1e-12:
-            u, dt = step_fn(u, final_time - t)
+            u, dt = step_fn(mesh, u, final_time - t)
             dtf = float(dt)
             if not np.isfinite(dtf):
                 raise ArithmeticError("TVDRK diverged: dt NaN/inf")

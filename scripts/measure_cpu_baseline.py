@@ -10,10 +10,12 @@ CPU_BASELINE_WALL in bench.py. Run on an otherwise idle box:
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 
 
 def main() -> int:
@@ -22,6 +24,8 @@ def main() -> int:
     ap.add_argument("--sweeps", type=int, default=3)
     ap.add_argument("--mixed", action="store_true",
                     help="mixed f32 Krylov (default: full f64)")
+    ap.add_argument("--out", default=os.path.join(_ROOT, "BASELINE_CPU.json"),
+                    help="artifact consumed by bench.py (vs_baseline source)")
     args = ap.parse_args()
 
     from bench import run_solve
@@ -44,11 +48,23 @@ def main() -> int:
     u, steps, lin_iters = solve()
     jax.block_until_ready(u)
     wall = time.perf_counter() - t0
-    print(json.dumps({
+    try:
+        rev = subprocess.run(["git", "-C", _ROOT, "rev-parse", "HEAD"],
+                             capture_output=True, text=True,
+                             check=True).stdout.strip()
+    except Exception:
+        rev = "unknown"
+    record = {
         "cpu_baseline_wall": wall, "steps": steps,
         "lin_iters": lin_iters, "cells": mesh.n_cells,
         "pc": args.pc, "sweeps": args.sweeps, "mixed": args.mixed,
-    }))
+        "git_rev": rev, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "n_host_cpus": os.cpu_count(),
+    }
+    print(json.dumps(record))
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"wrote {args.out}")
     return 0
 
 

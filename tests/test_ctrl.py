@@ -53,3 +53,61 @@ def test_ctrl_parse_viscous_fields(refdir):
     assert cfg.main.cfl_init == 500.0 and cfg.main.cfl_fin == 5000.0
     bytype = {b.type for b in cfg.bcs}
     assert "adiabaticwall" in bytype
+
+
+def test_solverc_parse_reference_files(refdir):
+    """Every reference case's .solverc parses and maps onto the TPU-native
+    linear solver config (FVENS doc/user-doc.md:17-25; -options_file)."""
+    from fvens_tpu.io_config.solverc import load_solver_options
+
+    # the default / visc-naca file: FGMRES(30) rtol 1e-1, bjacobi+ILU0
+    lin, reorder = load_solver_options(
+        str(refdir / "testcases/visc-naca0012/opts.solverc"))
+    assert lin.rtol == 0.1 and not lin.rtol_adapt
+    assert lin.maxiter == 30 and lin.restart == 30
+    assert lin.pc == "bsgs" and lin.pc_sweeps == 6   # ILU0-strength class
+    assert reorder == "rcm"
+
+    # 2dcylinder: SOR sub-PC -> multicolor SGS, max_it 20
+    lin, reorder = load_solver_options(
+        str(refdir / "testcases/2dcylinder/opts.solverc"))
+    assert lin.maxiter == 20 and lin.pc == "bcsgs"
+    assert reorder == ""
+
+    # the GAMG multigrid file -> aggregation AMG with matching depth/sweeps
+    lin, _ = load_solver_options(
+        str(refdir / "testcases/visc-naca0012/mgopts.solverc"))
+    assert lin.pc == "amg"
+    assert lin.mg_levels == 2          # PETSc counts 3 levels incl. fine
+    assert lin.mg_nu1 == 2 and lin.mg_nu2 == 2
+    assert lin.mg_coarse_sweeps == 6
+    assert lin.maxiter == 10
+
+    # BLASTed-as-shell (benchmark.solverc): ilu0 via -sub_pc_type shell
+    lin, _ = load_solver_options(
+        str(refdir / "testcases/visc-naca0012/benchmark.solverc"))
+    assert lin.pc == "bsgs" and lin.maxiter == 70
+
+
+def test_solverc_unknown_options_warn(tmp_path):
+    from fvens_tpu.io_config.solverc import load_solver_options
+    p = tmp_path / "o.solverc"
+    p.write_text("-ksp_rtol 1e-2\n-totally_unknown_thing 3\n"
+                 "# comment\n-options_left\n")
+    msgs = []
+    lin, _ = load_solver_options(str(p), warn=msgs.append)
+    assert lin.rtol == 1e-2
+    assert any("totally_unknown_thing" in m for m in msgs)
+    assert not any("options_left" in m for m in msgs)
+
+
+def test_linear_cfl_ramp():
+    """SteadySolver::linearRamp parity (aodesolver.cpp:88-108)."""
+    from fvens_tpu.solver.steady import linear_ramp
+    assert linear_ramp(10.0, 100.0, 5, 15, 0) == 10.0
+    assert linear_ramp(10.0, 100.0, 5, 15, 5) == 10.0
+    assert linear_ramp(10.0, 100.0, 5, 15, 10) == 55.0
+    assert linear_ramp(10.0, 100.0, 5, 15, 15) == 100.0
+    assert linear_ramp(10.0, 100.0, 5, 15, 99) == 100.0
+    assert linear_ramp(10.0, 100.0, 5, 5, 4) == 10.0
+    assert linear_ramp(10.0, 100.0, 5, 5, 5) == 100.0

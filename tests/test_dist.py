@@ -135,6 +135,39 @@ def test_partition_covers_all_cells():
     assert counts.max() <= 2 * counts.min() + 8  # roughly balanced
 
 
+def test_partition_refinement_cuts_edges():
+    """KL/FM boundary refinement (the Scotch-quality role,
+    meshpartitioning.cpp:432-461): on the reference hybrid mesh the refined
+    BFS partition's edge cut must beat the trivial contiguous split and
+    never exceed the raw BFS cut, at bounded imbalance."""
+    import os
+    from fvens_tpu.dist.partition import (edge_cut, greedy_partition,
+                                          refine_partition)
+    from fvens_tpu.mesh.reader import read_mesh
+
+    ref = "/root/reference/tests/common-input/testhybrid.msh"
+    md = read_mesh(ref) if os.path.exists(ref) else cylinder_omesh(24, 10)
+    topo = build_topology(md)
+    nfael = np.asarray(topo.nfael)
+    nparts = 3
+
+    # the reference's trivial partitioner: contiguous index blocks
+    # (meshpartitioning.cpp:354)
+    trivial = np.minimum(np.arange(topo.nelem) * nparts // topo.nelem,
+                         nparts - 1)
+    bfs = greedy_partition(topo.esuel, nfael, nparts)
+    ref_part = refine_partition(topo.esuel, nfael, bfs, nparts)
+
+    cut_triv = edge_cut(topo.esuel, nfael, trivial)
+    cut_bfs = edge_cut(topo.esuel, nfael, bfs)
+    cut_ref = edge_cut(topo.esuel, nfael, ref_part)
+    assert cut_ref <= cut_bfs
+    assert cut_ref <= cut_triv
+    counts = np.bincount(ref_part, minlength=nparts)
+    assert counts.sum() == topo.nelem
+    assert counts.min() >= int(np.floor(topo.nelem / nparts / 1.1))
+
+
 def test_sharded_fe_step_matches_single_device():
     """One explicit forward-Euler step, distributed vs single-device
     (the full update path: residual + halo + local dt + psum norm)."""
