@@ -26,12 +26,28 @@ Jacobian/Krylov inside an f64 residual/update loop
 unit of Krylov-residual reduction, and 6 sweeps minimizes total wall
 (docs/BENCH_NOTES.md round-2 table).
 
-vs_baseline: (CPU_BASELINE_WALL / 10) / measured, i.e. 1.0 == exactly the
+vs_baseline: (cpu_baseline_wall / 10) / measured, i.e. 1.0 == exactly the
 10x-single-socket-CPU bar. FVENS publishes no absolute numbers (SURVEY.md
-sec 6, BASELINE.md), so the stand-in is this framework's own single-host CPU
-f64 run of the same solve under the same stopping rule — an imperfect
-proxy: a native C++ FVENS with OpenMP+ILU0 could be faster than our JAX-CPU
-backend, so treat the ratio as an upper bound on the true FVENS ratio.
+sec 6, BASELINE.md), so the denominator comes from the git-stamped
+BASELINE_CPU.json artifact written by scripts/measure_cpu_baseline.py:
+this framework's own single-host CPU **f64** run of the same solve under
+the same stopping rule (f64 because the reference is all-double PETSc) —
+an imperfect proxy: a native C++ FVENS with OpenMP+ILU0 on a many-core
+socket could be faster than our JAX-CPU backend on this 1-vCPU host, so
+treat the ratio as an upper bound on the true FVENS ratio. Also reported:
+  - vs_cpu_best: against our own best CPU config (mixed precision) — the
+    framework-vs-itself cross-platform ratio (lower bound on nothing,
+    just honest);
+  - vs_fvens_bound: against the ANALYTIC lower bound on single-socket
+    FVENS wall (scripts/cpu_bound.py roofline model, artifact
+    BASELINE_CPU_BOUND.json) — a deliberately vacuous-generous bound
+    (perfect 64-core scaling, peak DDR5 bandwidth); see
+    docs/BENCH_NOTES.md for why no accelerator can clear 10x against it
+    on a memory-bound CFD kernel.
+If BASELINE_CPU.json is missing, or was measured at a different git rev
+than HEAD while solver sources changed, bench.py FAILS LOUDLY (stderr
+warning + "baseline_stale": true in the JSON) instead of silently reusing
+a stale number.
 
 Compile time is excluded (a warmup solve triggers compilation first; the
 persistent compilation cache makes reruns cheap): the C++ reference is also
@@ -46,10 +62,50 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TOL_ABS = 1e-10                # absolute residual target (energy norm)
-CPU_BASELINE_WALL = 256.0      # s, our CPU f64 solve of the same case
-#                                (best CPU config, bsgs x6, same stopping rule)
-#                                (scripts/measure_cpu_baseline.py re-measures)
 TARGET_FACTOR = 10.0           # the BASELINE.md bar
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def load_cpu_baseline():
+    """Read BASELINE_CPU.json (+ optional BASELINE_CPU_BOUND.json).
+
+    Returns (record, stale): record holds cpu_baseline_wall (f64 stand-in),
+    cpu_best_wall (best CPU config) and optionally t_bound_s; stale=True
+    when the artifact's git rev differs from HEAD *and* solver sources
+    changed since (the loud-failure rule — VERDICT r2 item 10)."""
+    import subprocess
+    path = os.path.join(_ROOT, "BASELINE_CPU.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            "BASELINE_CPU.json missing — run scripts/measure_cpu_baseline.py"
+            " on an idle host before benchmarking")
+    with open(path) as f:
+        rec = json.load(f)
+    stale = False
+    try:
+        head = subprocess.run(["git", "-C", _ROOT, "rev-parse", "HEAD"],
+                              capture_output=True, text=True,
+                              check=True).stdout.strip()
+        if rec.get("git_rev") not in (head, "unknown"):
+            diff = subprocess.run(
+                ["git", "-C", _ROOT, "diff", "--name-only",
+                 rec["git_rev"], head, "--",
+                 "fvens_tpu/solver", "fvens_tpu/fv", "fvens_tpu/mesh",
+                 "bench.py"],
+                capture_output=True, text=True, check=True).stdout.strip()
+            stale = bool(diff)
+    except Exception:
+        pass                     # not a git checkout: trust the artifact
+    if stale:
+        print("WARNING: BASELINE_CPU.json measured at rev "
+              f"{rec.get('git_rev', '?')[:12]} but solver sources changed "
+              "since — re-run scripts/measure_cpu_baseline.py",
+              file=sys.stderr)
+    bpath = os.path.join(_ROOT, "BASELINE_CPU_BOUND.json")
+    if os.path.exists(bpath):
+        with open(bpath) as f:
+            rec["t_bound_s"] = json.load(f)["t_bound_s"]
+    return rec, stale
 
 
 def run_solve(platform=None, mixed=True, pc="bsgs", sweeps=6):
@@ -105,6 +161,7 @@ def run_solve(platform=None, mixed=True, pc="bsgs", sweeps=6):
 
 def main() -> int:
     import jax
+    base, stale = load_cpu_baseline()
     solve, mesh = run_solve()
 
     solve()                      # warmup: compile (not measured)
@@ -117,16 +174,25 @@ def main() -> int:
     # secondary: implicit-step throughput during the measured solve
     rate = mesh.n_cells * steps / wall
 
-    print(json.dumps({
+    out = {
         "metric": "wallclock_to_abs1e-10_visc_naca0012",
         "value": wall,
         "unit": "s",
-        "vs_baseline": (CPU_BASELINE_WALL / TARGET_FACTOR) / wall,
+        "vs_baseline": (base["cpu_baseline_wall"] / TARGET_FACTOR) / wall,
         "steps": steps,
         "lin_iters": lin_iters,
         "cells": mesh.n_cells,
         "cell_updates_per_sec": rate,
-    }))
+        "cpu_baseline_wall": base["cpu_baseline_wall"],
+        "cpu_baseline_rev": base.get("git_rev", "unknown")[:12],
+    }
+    if "cpu_best_wall" in base:
+        out["vs_cpu_best"] = (base["cpu_best_wall"] / TARGET_FACTOR) / wall
+    if "t_bound_s" in base:
+        out["vs_fvens_bound"] = (base["t_bound_s"] / TARGET_FACTOR) / wall
+    if stale:
+        out["baseline_stale"] = True
+    print(json.dumps(out))
     return 0
 
 

@@ -154,6 +154,32 @@ class LinearSolverConfig:
     mg_nu2: int = 2                    # post-smoothing sweeps per level
     mg_coarse_sweeps: int = 10         # smoother sweeps on the coarsest level
     mg_cycles: int = 1                 # V-cycles per preconditioner apply
+    ilu_setup_sweeps: int = 4          # pc='ilu0': Chow-Patel fixed-point
+    #                                    factorization sweeps per Newton step
+    #                                    (solver/ilu.py; the parallel form of
+    #                                    the reference's BLASTed async ILU0,
+    #                                    defaults.solverc:16-19). pc_sweeps
+    #                                    then counts the truncated-Neumann
+    #                                    sweeps per triangular solve
+    deflation_k: int = 0               # >0: GCRO-DR subspace recycling —
+    #                                    carry k approximate slow directions
+    #                                    of the Jacobian across Newton steps
+    #                                    and deflate them from every Krylov
+    #                                    solve (solver/linear.py:gmres_dr).
+    #                                    The TPU-native route to the
+    #                                    reference's ILU0-class iteration
+    #                                    counts (all added work is MXU-shaped
+    #                                    tall-skinny dense algebra)
+    deflation_start_relres: float = 1e-2   # enable recycling only below this
+    #                                    rel-residual: during the transient
+    #                                    phase the Jacobian changes violently
+    #                                    between steps, recycled spaces are
+    #                                    stale, and deflating with them
+    #                                    derails the Newton path (measured:
+    #                                    79 -> 176 steps ungated); the
+    #                                    endgame — where the iterations
+    #                                    actually pile up — has a nearly
+    #                                    constant Jacobian
     matrix_free: bool = False
     matrix_free_fd: bool = False       # matrix-free matvec via the
     #                                    reference's eps/||x|| finite

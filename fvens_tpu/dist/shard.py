@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..solver.steady import SteadyBackwardEuler
 from .partition import ShardedMeshBundle
 
 AXIS = "mesh_x"
@@ -201,64 +202,35 @@ class ShardedFlow:
         return jax.jit(step)
 
     def solve_implicit(self, cfg, lin=None, nl=None, u=None,
-                       log_every: int = 0, logger=None):
-        """Distributed steady implicit solve (host-side CFL/forcing control,
-        device-side distributed steps). cfg: PseudoTimeConfig."""
-        import numpy as np
-        from ..config import LinearSolverConfig
-        from ..solver.steady import (NumericalError, SolveInfo,
-                                     ToleranceError, exp_residual_ramp)
-        lin = lin or LinearSolverConfig()
-        step = self.be_step_fn(lin=lin, nl=nl)
+                       log_every: int = 0, logger=None,
+                       checkpoint_path=None, checkpoint_every: int = 50):
+        """Distributed steady implicit solve at single-chip controller
+        parity: the FULL SteadyBackwardEuler host controller (exp/linear CFL
+        ramp + trust-region cap, Krylov forcing controller, NaN/blowup
+        recovery from the best-seen state, frozen-residual guard,
+        checkpoint/resume, mixed precision) drives shard_map'ed implicit
+        steps — see DistributedBackwardEuler. cfg: PseudoTimeConfig."""
+        from ..config import LinearSolverConfig, NonlinearUpdateConfig
+        be = DistributedBackwardEuler(
+            space=self.space, cfg=cfg, lin=lin or LinearSolverConfig(),
+            nl=nl or NonlinearUpdateConfig(), checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every, flow=self)
         if u is None:
             u = self.initial_state()
-        if logger is None and log_every:
-            from ..io_config.logs import ConvergenceLogger
-            logger = ConvergenceLogger(print_every=log_every, label="dBE")
-        info = SolveInfo()
-        res = resold = initres = 1.0
-        cfl = cfg.cfl_init
-        rtol = 0.1 if lin.rtol_adapt else lin.rtol
-        stepn = 0
-        while stepn < cfg.maxiter:
-            if stepn > 0:
-                cfl = exp_residual_ramp(cfg.cfl_init, cfg.cfl_fin, cfl,
-                                        resold / res, 0.25, 0.3)
-                if lin.rtol_adapt:
-                    ratio = res / resold
-                    if ratio > 1.2:
-                        rtol = min(rtol * 2.0, lin.rtol_max)
-                    elif ratio <= 1.0:
-                        rtol = max(rtol * 0.3, lin.rtol)
-            u, resj, iters = step(u, cfl, rtol)
-            resold = res
-            res = float(resj)
-            info.total_lin_iters += int(iters)
-            if not np.isfinite(res):
-                raise NumericalError("distributed implicit solve diverged")
-            if stepn == 0:
-                initres = res
-                resold = res
-            stepn += 1
-            info.history.append((stepn, res / initres, res, cfl))
-            if logger:
-                logger.log(stepn, res / initres, res,
-                           lin_iters=int(iters), cfl=cfl)
-            if res / initres <= cfg.tol:
-                break
-        info.steps = stepn
-        info.initres = initres
-        info.finalres = res
-        info.converged = res / initres <= cfg.tol
-        if not info.converged:
-            raise ToleranceError("distributed implicit solve did not converge")
-        return u, info
+        b = self.bundle
+        dmesh = DistMesh(b.mesh, b.pp_send, b.pp_recv)
+        return be.solve(dmesh, u, log_every=log_every, logger=logger)
 
     def initial_state(self):
         u0 = jnp.tile(self.space.uinf.astype(self.bundle.mesh.dtype),
                       (self.n_parts, self.bundle.mesh.NC, 1))
         return jax.device_put(
             u0, jax.sharding.NamedSharding(self.jmesh, P(AXIS)))
+
+    def dist_mesh(self):
+        """The DistMesh pytree handle fed to DistributedBackwardEuler."""
+        b = self.bundle
+        return DistMesh(b.mesh, b.pp_send, b.pp_recv)
 
     def gather_solution(self, u):
         """(D, NC_local, V) -> (n_cells_global, V) in global cell order."""
@@ -271,3 +243,177 @@ class ShardedFlow:
             n_own = int(b.own_counts[p])
             out[gid[p, :n_own]] = u_np[p, :n_own]
         return out
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["mesh", "pp_send", "pp_recv"], meta_fields=[])
+@dataclasses.dataclass
+class DistMesh:
+    """Pytree handle standing in for CompiledMesh in the inherited
+    SteadyBackwardEuler.solve host loop: carries the stacked per-part mesh
+    plus the ppermute exchange maps, and supports the one mesh operation
+    the host loop performs (astype for the mixed-precision f32 copy)."""
+    mesh: object                  # CompiledMesh, every leaf stacked (D, ...)
+    pp_send: jnp.ndarray          # (D, R, max_pair)
+    pp_recv: jnp.ndarray          # (D, R, max_pair)
+
+    def astype(self, dtype):
+        return DistMesh(self.mesh.astype(dtype), self.pp_send, self.pp_recv)
+
+
+@dataclasses.dataclass
+class DistributedBackwardEuler(SteadyBackwardEuler):
+    """Distributed implicit solver at single-chip parity (VERDICT r2 #5).
+
+    REUSES the SteadyBackwardEuler host controller by inheritance — the
+    exp/linear CFL ramp + trust-region cap, the Krylov forcing controller
+    (one shared controller_advance), NaN/blowup recovery from the
+    best-seen state, the frozen-residual guard, checkpoint/resume with
+    full controller state, and mixed precision all come from solve()
+    unchanged — and overrides ONLY the device step with a shard_map'ed
+    program: halo-exchanged residual, per-shard Jacobian, additive-Schwarz
+    preconditioner (the reference's parallel bjacobi layout,
+    testcases/defaults.solverc:16-19), psum-GMRES, positivity line search.
+
+    The reference treats MPI implicit solves as first-class
+    (tests/inv-2dcyl/CMakeLists.txt:31-37); its recovery logic, however,
+    is single-rank-identical by SPMD construction — same here: every
+    host-side controller decision is driven by psum'd global scalars, so
+    all shards take identical control paths.
+    """
+    flow: ShardedFlow = None
+
+    log_label = "dBE"
+
+    def __post_init__(self):
+        if self.lin.pc in ("bline", "amg", "ilu0"):
+            raise NotImplementedError(
+                f"pc={self.lin.pc!r} has no distributed form yet; use "
+                "bjacobi/bsgs/bcsgs (shard-local additive Schwarz)")
+        if self.lin.matrix_free:
+            raise NotImplementedError(
+                "distributed matrix-free matvec not wired yet")
+        if self.lin.deflation_k:
+            raise NotImplementedError(
+                "GCRO-DR recycling is single-chip only (needs axis-aware "
+                "projections)")
+        if self.lin.warm_start:
+            raise NotImplementedError(
+                "warm start is single-chip only (off by default; measured "
+                "harmful, docs/BENCH_NOTES.md)")
+        if self.cfg.device_steps > 1:
+            raise NotImplementedError(
+                "device-side chunked stepping (device_steps>1) is "
+                "single-chip only; the distributed step is already one "
+                "device program per pseudo-time step")
+
+    # pc-specific host caches don't apply to the supported distributed pcs
+    def _lines(self, mesh):
+        return None
+
+    def _mg(self, mesh):
+        return None
+
+    def _step(self, dmesh, u, cfl, rtol, omega_cap=1.0, du0=None,
+              return_du=False, lmesh=None, mg=None, U0=None,
+              return_defl=False, ilu=None):
+        """Distributed analogue of SteadyBackwardEuler._step with the SAME
+        contract: (mesh-arg, u, cfl, rtol, omega_cap) -> (u', global res,
+        iters) [+ du], so the inherited host loop drives it unchanged.
+        u is (D, NC_local, V) sharded on the leading device axis."""
+        from ..solver import jacobian as jacmod
+        from ..solver.linear import (gmres, make_bsr_matvec,
+                                     make_preconditioner)
+        from ..solver.relaxation import get_update_scheme
+        assert not return_defl and U0 is None
+        flow, space, lin, nl = self.flow, self.space, self.lin, self.nl
+        warm = du0 is not None
+        mixed = lin.mixed_precision and u.dtype == jnp.float64
+        lm = lmesh if (mixed and lmesh is not None) else dmesh
+
+        def body(mesh_st, lmesh_st, pps, ppr, u_sh, du0_sh, cflj, rtolj,
+                 ocap):
+            mesh_loc = jax.tree_util.tree_map(lambda x: x[0], mesh_st)
+            exch = flow._exch(pps, ppr)
+            ex = partial(halo_exchange, exch)
+            u_loc = halo_exchange(exch, u_sh[0])
+            rhs, dt = space.compute_residual(mesh_loc, u_loc, True,
+                                             exchange=ex)
+
+            if mixed:
+                lmesh_loc = jax.tree_util.tree_map(lambda x: x[0], lmesh_st)
+                lu = u_loc.astype(jnp.float32)
+                lrhs = rhs.astype(jnp.float32)
+                lcfl = jnp.asarray(cflj, jnp.float32)
+                ldt = dt.astype(jnp.float32)
+            else:
+                lmesh_loc, lu, lrhs = mesh_loc, u_loc, rhs
+                lcfl, ldt = cflj, dt
+            mask = lmesh_loc.cell_mask[:, None].astype(lrhs.dtype)
+
+            jac = space.assemble_jacobian(lmesh_loc, lu)
+            jac = jacmod.add_pseudotime_term(lmesh_loc, jac, lcfl, ldt)
+            pc = make_preconditioner(lmesh_loc, jac, lin.pc, lin.pc_sweeps)
+            mv_loc = make_bsr_matvec(lmesh_loc, jac)
+
+            def matvec(x):
+                # Krylov vector halo-exchanged every application — the
+                # reference's VecGhostUpdate inside each MatMult
+                return mv_loc(halo_exchange(exch, x)) * mask
+
+            if warm:
+                x0 = du0_sh[0].astype(lrhs.dtype)
+                x0 = jnp.where(jnp.isfinite(x0).all(), x0,
+                               jnp.zeros_like(x0))
+            else:
+                x0 = jnp.zeros_like(lrhs)
+            du, iters, relres = gmres(
+                matvec, lrhs * mask, x0, lambda v: pc(v) * mask,
+                restart=lin.restart, maxiter=lin.maxiter, rtol=rtolj,
+                axis_name=AXIS)
+            if mixed:
+                du = du.astype(u_loc.dtype)
+
+            omega = get_update_scheme(nl.scheme)(
+                getattr(space, "phy", None), u_loc, du, nl.min_factor)
+            omega = jnp.minimum(omega, ocap)
+            phy = getattr(space, "phy", None)
+            if phy is not None and u_loc.shape[-1] == 4:
+                # same per-cell positivity line search as the single-chip
+                # step (purely cell-local: shards apply it independently)
+                rho0 = u_loc[:, 0]
+                p0 = phy.pressure(u_loc)
+
+                def positive(om):
+                    ut = u_loc + (omega * om)[:, None] * du
+                    return ((ut[:, 0] > 0.01 * rho0)
+                            & (phy.pressure(ut) > 0.01 * p0))
+
+                scale = jnp.zeros_like(omega)
+                for om in (1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125):
+                    scale = jnp.where((scale == 0.0) & positive(om), om,
+                                      scale)
+                omega = omega * scale
+            unew = u_loc + omega[:, None] * du * mesh_loc.cell_mask[:, None]
+
+            loc = ((rhs[:, -1] ** 2) * mesh_loc.area
+                   * mesh_loc.cell_mask).sum()
+            res = jnp.sqrt(jax.lax.psum(loc, AXIS))
+            ok = (jnp.isfinite(rhs).all() & jnp.isfinite(unew).all()
+                  & jnp.isfinite(relres) & jnp.isfinite(du).all())
+            ok = jax.lax.pmin(jnp.where(ok, 1, 0), AXIS) > 0
+            res = jnp.where(ok, res, jnp.nan)
+            if return_du:
+                return unew[None], res, iters, du[None]
+            return unew[None], res, iters
+
+        out_specs = ((P(AXIS), P(), P(), P(AXIS)) if return_du
+                     else (P(AXIS), P(), P()))
+        du0_arg = du0 if warm else u    # dummy, sliced but unused
+        return jax.shard_map(
+            body, mesh=flow.jmesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                      P(), P(), P()),
+            out_specs=out_specs,
+        )(dmesh.mesh, lm.mesh, dmesh.pp_send, dmesh.pp_recv, u, du0_arg,
+          jnp.asarray(cfl), jnp.asarray(rtol), jnp.asarray(omega_cap))

@@ -111,7 +111,8 @@ def _inv4(M):
 
 def make_preconditioner(mesh, jac: BlockJacobian, kind: str = "bjacobi",
                         sweeps: int = 4, lines=None, mg=None,
-                        mg_opts=None) -> Callable:
+                        mg_opts=None, ilu=None, ilu_setup: int = 4
+                        ) -> Callable:
     """Returns pc(v) ~= J^-1 v.
 
     bjacobi: z = D^-1 v (the reference default bjacobi+ILU0 analogue at
@@ -143,6 +144,15 @@ def make_preconditioner(mesh, jac: BlockJacobian, kind: str = "bjacobi",
         return pc
     if kind == "bcsgs":
         return make_colored_sgs(mesh, jac, Dinv, jac.N, sweeps)
+    if kind == "ilu0":
+        # Chow-Patel fixed-point block ILU(0) — the parallel form of the
+        # reference's BLASTed async-ILU default (defaults.solverc:16-19);
+        # see solver/ilu.py
+        if ilu is None:
+            raise ValueError("pc='ilu0' needs an ILUStructure")
+        from .ilu import ilu_factorize, make_ilu_apply
+        L, Ud, Udinv, Us = ilu_factorize(mesh, jac, ilu, sweeps=ilu_setup)
+        return make_ilu_apply(mesh, L, Udinv, Us, sweeps=sweeps)
     if kind == "bline":
         if lines is None:
             raise ValueError("pc='bline' needs a LineStructure")
@@ -364,3 +374,183 @@ def gmres(matvec: Callable, b, x0, pc: Callable, restart: int = 30,
                 lambda carry: carry,
                 (x, iters, res))
     return x.reshape(shape), iters, res / jnp.maximum(bnorm, 1e-300)
+
+
+def gmres_dr(matvec: Callable, b, x0, pc: Callable, U=None, k: int = 16,
+             restart: int = 30, maxiter: int = 30, rtol: float = 1e-1):
+    """Deflated/recycling right-preconditioned GMRES (GCRO-DR class).
+
+    The reference reaches few Krylov iterations per Newton step through a
+    sequential ILU0 (testcases/defaults.solverc:16-19); sequential sweeps
+    are latency-bound on TPU (docs/BENCH_NOTES.md), so the TPU-native route
+    to the same goal is SUBSPACE RECYCLING: carry k approximate slow
+    directions of the (slowly varying) Jacobian across Newton steps and
+    deflate them from every solve. All added work is tall-skinny dense
+    algebra (C@w projections, one QR, one small SVD) — MXU-shaped.
+
+    Scheme (GCRO with SVD harvest — Parks et al. GCRO-DR, with the small
+    harmonic-Ritz eigenproblem replaced by an SVD of the exact relation
+    A [U;Z] = [C;V] G, since TPU XLA has no nonsymmetric eig):
+      setup    C R = qr(A U),  U <- R^-T U       (so A U = C, C orthonormal)
+      init     x += U^T (C r0), r -= C^T (C r0)
+      Arnoldi  on (I - C^T C) A M^-1, storing B = C A Z
+      update   x += Z^T y - U^T (B y)            (residual-optimal over
+                                                  span(U) + span(Z))
+      harvest  k smallest right singular vectors of G = [[I,B],[0,Hbar]]
+               -> U' = Y^T [U;Z]
+
+    U: (k,)+b.shape recycled directions from the previous solve, or None
+    (first call: plain projected Arnoldi, harvest only).
+    Returns (x, iters, relres, U_new) with U_new shaped like U.
+    """
+    shape = b.shape
+    dtype = b.dtype
+    n = b.size
+    bf = b.reshape(n)
+    mv = lambda v: matvec(v.reshape(shape)).reshape(n)
+    pcf = lambda v: pc(v.reshape(shape)).reshape(n)
+
+    bnorm = jnp.sqrt(jnp.sum(bf * bf))
+    tol = rtol * bnorm
+    m = restart
+    ncycles = max(1, -(-maxiter // restart))
+    have_U = U is not None
+
+    if have_U:
+        Ur = U.reshape(k, n).astype(dtype)
+        AU = jax.vmap(mv)(Ur)                       # (k, n) batched matvec
+        Q, R = jnp.linalg.qr(AU.T)                  # A U^T = Q R
+        # guard a rank-deficient recycle space: clamp tiny R diagonals so
+        # the triangular solve stays finite (the affected directions then
+        # deflate nothing instead of poisoning the solve)
+        d = jnp.diagonal(R)
+        dsafe = jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+        R = R - jnp.diag(d) + jnp.diag(dsafe)
+        C = Q.T                                     # (k, n), orthonormal rows
+        Ur = jax.scipy.linalg.solve_triangular(R.T, Ur, lower=True)
+    else:
+        C = jnp.zeros((k, n), dtype)
+        Ur = jnp.zeros((k, n), dtype)
+
+    def cycle(x, total_iters):
+        r = bf - mv(x)
+        if have_U:
+            q = C @ r
+            x = x + Ur.T @ q
+            r = r - C.T @ q
+        beta = jnp.sqrt(jnp.sum(r * r))
+
+        V = jnp.zeros((m + 1, n), dtype)
+        Z = jnp.zeros((m, n), dtype)
+        B = jnp.zeros((k, m), dtype)
+        H = jnp.zeros((m + 1, m), dtype)
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
+
+        def cond(carry):
+            V, Z, B, H, cs, sn, g, j, res = carry
+            return (j < m) & (res > tol)
+
+        def body(carry):
+            V, Z, B, H, cs, sn, g, j, _ = carry
+            z = pcf(V[j])
+            w = mv(z)
+            Z = Z.at[j].set(z)
+            if have_U:
+                bcol = C @ w
+                w = w - C.T @ bcol
+                B = B.at[:, j].set(bcol)
+
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)
+            h = (V @ w) * mask
+            w = w - V.T @ h
+            h2 = (V @ w) * mask
+            w = w - V.T @ h2
+            h = h + h2
+            hn = jnp.sqrt(jnp.sum(w * w))
+            V = V.at[j + 1].set(w / jnp.maximum(hn, 1e-300))
+            hcol = h.at[j + 1].set(hn)
+
+            def rot(i, hc):
+                t1 = cs[i] * hc[i] + sn[i] * hc[i + 1]
+                t2 = -sn[i] * hc[i] + cs[i] * hc[i + 1]
+                return hc.at[i].set(t1).at[i + 1].set(t2)
+            hcol = jax.lax.fori_loop(0, j, rot, hcol)
+
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            c_new = hcol[j] / jnp.maximum(denom, 1e-300)
+            s_new = hcol[j + 1] / jnp.maximum(denom, 1e-300)
+            hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            g_new = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
+
+            H = H.at[:, j].set(hcol)
+            res = jnp.abs(g_new[j + 1])
+            return (V, Z, B, H, cs, sn, g_new, j + 1, res)
+
+        carry = (V, Z, B, H, cs, sn, g, jnp.array(0), beta)
+        V, Z, B, H, cs, sn, g, j, res = jax.lax.while_loop(cond, body, carry)
+
+        used = jnp.arange(m) < j
+        Rt = H[:m, :m] * used[None, :] * used[:, None]
+        Rt = Rt + jnp.diag(jnp.where(used, 0.0, 1.0))
+        rhs_t = jnp.where(used, g[:m], 0.0)
+
+        def back(i, y):
+            kk = m - 1 - i
+            yk = (rhs_t[kk] - jnp.dot(Rt[kk], y)) / Rt[kk, kk]
+            return y.at[kk].set(yk)
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype))
+        x = x + Z.T @ y
+        if have_U:
+            x = x - Ur.T @ (B @ y)
+        return x, total_iters + j, res, (V, Z, B, H, j)
+
+    x = x0.reshape(n)
+    iters = jnp.array(0)
+    arn = None
+    for c in range(ncycles):
+        if c == 0:
+            x, iters, res, arn = cycle(x, iters)
+        else:
+            x, iters, res, arn = jax.lax.cond(
+                res > tol,
+                lambda carry: cycle(carry[0], carry[1]),
+                lambda carry: carry,
+                (x, iters, res, arn))
+
+    # ---- harvest the next recycle space from the LAST cycle's relation
+    # A [Ur; Z] = [C; V] G,  G = [[I_k, B], [0, Hbar]]  (exact)
+    V, Z, B, H, j = arn
+    used = jnp.arange(m) < j
+    G = jnp.zeros((k + m + 1, k + m), dtype)
+    if have_U:
+        G = G.at[:k, :k].set(jnp.eye(k, dtype=dtype))
+        G = G.at[:k, k:].set(B * used[None, :].astype(dtype))
+    Hm = H * used[None, :].astype(dtype)
+    G = G.at[k:, k:].set(Hm)
+    # unused Arnoldi columns get a huge unit diagonal so their (exact)
+    # singular triplets sort to the top and are never harvested
+    big = jnp.where(used, 0.0, 1e8).astype(dtype)
+    G = G.at[jnp.arange(k, k + m), jnp.arange(k, k + m)].add(big)
+    if not have_U:
+        # without a previous space the first k columns are all-zero: give
+        # them the same huge diagonal so they are not selected either
+        G = G.at[jnp.arange(k), jnp.arange(k)].set(jnp.asarray(1e8, dtype))
+    _, _, Vh = jnp.linalg.svd(G, full_matrices=False)
+    Y = Vh[-k:, :]                                  # k smallest, (k, k+m)
+    ZU = jnp.concatenate([Ur, Z], axis=0)           # (k+m, n)
+    U_new = Y @ ZU                                  # (k, n)
+    # ORTHONORMALIZE the harvested space (span is all that matters; C is
+    # rebuilt from A U next solve). Without this the recycled directions
+    # collapse toward the same slow modes across Newton steps, R^-T U
+    # amplifies wildly, and the f32 U-space correction x -= U (B y)
+    # cancels catastrophically — measured: outer Newton 79 -> 143 steps.
+    U_new = jnp.where(jnp.isfinite(U_new), U_new, 0.0)
+    Qh, _ = jnp.linalg.qr(U_new.T)                  # (n, k) orthonormal
+    U_new = Qh.T
+    return (x.reshape(shape), iters, res / jnp.maximum(bnorm, 1e-300),
+            U_new.reshape((k,) + shape))

@@ -191,6 +191,8 @@ class SteadyBackwardEuler:
     checkpoint_path: Optional[str] = None     # save/resume state here
     checkpoint_every: int = 50
 
+    log_label = "BE"      # class attr (not a field): logger prefix
+
     def _lines(self, mesh):
         """Host-side line detection, cached per mesh (pc='bline' only).
 
@@ -237,8 +239,22 @@ class SteadyBackwardEuler:
                     coarse_sweeps=self.lin.mg_coarse_sweeps,
                     cycles=self.lin.mg_cycles)
 
+    def _ilu(self, mesh):
+        """Host-side ILU0 sparsity analysis, cached per mesh (pc='ilu0'
+        only). A static-int pytree passed to _step as a jit ARGUMENT, so
+        the compiled program stays O(1) in the mesh size."""
+        if self.lin.pc != "ilu0":
+            return None
+        cache = getattr(self, "_ilu_cache", None)
+        key = id(mesh)
+        if cache is None or cache[0] != key:
+            from .ilu import ilu_structure
+            self._ilu_cache = (key, ilu_structure(mesh))
+        return self._ilu_cache[1]
+
     def _step(self, mesh, u, cfl, rtol, omega_cap=1.0, du0=None,
-              return_du=False, lmesh=None, mg=None):
+              return_du=False, lmesh=None, mg=None, U0=None,
+              return_defl=False, ilu=None):
         """One implicit pseudo-time step.
 
         `du0` (optional): previous Newton direction as the Krylov initial
@@ -274,7 +290,8 @@ class SteadyBackwardEuler:
 
         pc = make_preconditioner(lmesh, jac, self.lin.pc, self.lin.pc_sweeps,
                                  lines=self._lines(mesh), mg=mg,
-                                 mg_opts=self._mg_opts())
+                                 mg_opts=self._mg_opts(), ilu=ilu,
+                                 ilu_setup=self.lin.ilu_setup_sweeps)
         if self.lin.matrix_free:
             diag = (mesh.area / (cfl * dt) * mesh.cell_mask)[:, None]
 
@@ -308,10 +325,20 @@ class SteadyBackwardEuler:
             x0 = jnp.where(jnp.isfinite(x0).all(), x0, jnp.zeros_like(x0))
         else:
             x0 = jnp.zeros_like(lrhs)
-        du, iters, relres = gmres(matvec, lrhs, x0, pc,
-                                  restart=self.lin.restart,
-                                  maxiter=self.lin.maxiter,
-                                  rtol=rtol)
+        if return_defl:
+            # GCRO-DR subspace recycling (lin.deflation_k): a SEPARATE
+            # traced program from the classic step, so the default
+            # trajectory stays bit-identical (same rule as warm_start)
+            from .linear import gmres_dr
+            du, iters, relres, U_new = gmres_dr(
+                matvec, lrhs, x0, pc, U=U0, k=self.lin.deflation_k,
+                restart=self.lin.restart, maxiter=self.lin.maxiter,
+                rtol=rtol)
+        else:
+            du, iters, relres = gmres(matvec, lrhs, x0, pc,
+                                      restart=self.lin.restart,
+                                      maxiter=self.lin.maxiter,
+                                      rtol=rtol)
         if mixed:
             du = du.astype(u.dtype)
 
@@ -344,13 +371,17 @@ class SteadyBackwardEuler:
         ok = (jnp.isfinite(rhs).all() & jnp.isfinite(unew).all()
               & jnp.isfinite(relres) & jnp.isfinite(du).all())
         res = jnp.where(ok, residual_norm(mesh, rhs), jnp.nan)
+        if return_defl:
+            if return_du:
+                return unew, res, iters, du, U_new
+            return unew, res, iters, U_new
         if return_du:
             return unew, res, iters, du
         return unew, res, iters
 
     def _chunk(self, K, mesh, u, du, u_best, res_best, stall,
                cfl, cfl_cap, rtol, rtol_floor, raise_relres, res, resold,
-               initres, lmesh=None, mg=None):
+               initres, lmesh=None, mg=None, ilu=None):
         """Run up to K pseudo-time steps fully on device (lax.scan): the CFL
         exp-residual ramp and the Krylov forcing controller are the same
         arithmetic as the host loop in solve(). Exits early (flag != 0) on
@@ -380,11 +411,13 @@ class SteadyBackwardEuler:
                 u_new, resj, itj, du_new = self._step(mesh, u, cfl, rtol,
                                                       1.0, du,
                                                       return_du=True,
-                                                      lmesh=lmesh, mg=mg)
+                                                      lmesh=lmesh, mg=mg,
+                                                      ilu=ilu)
             else:
                 u_new, resj, itj, du_new = self._step(mesh, u, cfl, rtol,
                                                       1.0, return_du=True,
-                                                      lmesh=lmesh, mg=mg)
+                                                      lmesh=lmesh, mg=mg,
+                                                      ilu=ilu)
             finite = jnp.isfinite(resj)
             blown = finite & (resj > cfg.blowup_relres * initres)
             healthy = finite & ~blown
@@ -425,6 +458,7 @@ class SteadyBackwardEuler:
     def solve(self, mesh, u0, log_every: int = 0, logger=None) -> tuple:
         self._lines(mesh)        # prewarm eagerly: see _lines docstring
         mg = self._mg(mesh)      # AMG hierarchy (host build, jit argument)
+        ilu = self._ilu(mesh)    # ILU0 sparsity analysis (host, jit arg)
         warm = self.lin.warm_start
         # with warm start OFF (default) the traced step program is exactly
         # the classic 3-output step: converged regression trajectories are
@@ -433,8 +467,15 @@ class SteadyBackwardEuler:
         # Krylov phase) is a jit ARGUMENT: baking O(mesh) literals into the
         # program made program size scale with the mesh and capped usable
         # meshes at ~205k cells (round-2 finding, docs/BENCH_NOTES.md)
+        defl = self.lin.deflation_k > 0
         step_fn = (jax.jit(partial(self._step, return_du=True))
                    if warm else jax.jit(self._step))
+        # GCRO-DR recycling: a separate traced program, used only below
+        # deflation_start_relres (stale recycle spaces derail the violent
+        # transient phase); until then the CLASSIC program runs, so gated
+        # trajectories are bit-identical to the default until the gate opens
+        defl_fn = (jax.jit(partial(self._step, return_du=warm,
+                                   return_defl=True)) if defl else None)
         mixed = self.lin.mixed_precision and u0.dtype == jnp.float64
         lmesh = mesh.astype(jnp.float32) if mixed else mesh
         u = u0
@@ -445,7 +486,8 @@ class SteadyBackwardEuler:
         step = 0
         if logger is None and log_every:
             from ..io_config.logs import ConvergenceLogger
-            logger = ConvergenceLogger(print_every=log_every, label="BE")
+            logger = ConvergenceLogger(print_every=log_every,
+                                       label=self.log_label)
 
         rtol = 0.1 if self.lin.rtol_adapt else self.lin.rtol
         rtol_floor = self.lin.rtol
@@ -487,7 +529,9 @@ class SteadyBackwardEuler:
         # the chunked device-side controller implements the exp ramp only;
         # the (step-indexed) linear ramp runs through the host loop
         chunk_fn = (jax.jit(partial(self._chunk, K))
-                    if K > 1 and self.cfg.cfl_ramp == "exp" else None)
+                    if K > 1 and self.cfg.cfl_ramp == "exp" and not defl
+                    else None)
+        U_defl = None           # recycled Krylov space (lin.deflation_k)
         single_left = 1         # the first step runs singly (sets initres);
         #                         recoveries also force a few single steps
         du_c = jnp.zeros_like(u)   # chunk-carried Newton direction
@@ -497,7 +541,7 @@ class SteadyBackwardEuler:
                 carry, outs = chunk_fn(
                     mesh, u, du_c, u_best, res_best, stall_count,
                     cfl, cfl_cap, rtol, rtol_floor, raise_relres,
-                    res, resold, initres, lmesh=lmesh, mg=mg)
+                    res, resold, initres, lmesh=lmesh, mg=mg, ilu=ilu)
                 (u, du_c, u_best, res_bestj, stallj, cflj,
                  cfl_capj, rtolj, rtol_floorj, raise_relresj, resj,
                  resoldj, flagj, itersj, nstepsj) = carry
@@ -586,13 +630,26 @@ class SteadyBackwardEuler:
                         rtol_floor, raise_relres, res, resold, initres,
                         ramped_cfl=rc)]
             u_prev = u
-            if warm:
+            defl_on = (defl and step > 0
+                       and res <= self.lin.deflation_start_relres * initres)
+            if not defl_on:
+                U_defl = None     # space from before a recovery/gate-close
+            if defl_on and warm:
+                u, resj, itersj, du_prev, U_defl = defl_fn(
+                    mesh, u, cfl, rtol, omega_cap, du_prev,
+                    lmesh=lmesh, mg=mg, U0=U_defl, ilu=ilu)
+            elif defl_on:
+                u, resj, itersj, U_defl = defl_fn(mesh, u, cfl, rtol,
+                                                  omega_cap, lmesh=lmesh,
+                                                  mg=mg, U0=U_defl, ilu=ilu)
+            elif warm:
                 u, resj, itersj, du_prev = step_fn(mesh, u, cfl, rtol,
                                                    omega_cap, du_prev,
-                                                   lmesh=lmesh, mg=mg)
+                                                   lmesh=lmesh, mg=mg,
+                                                   ilu=ilu)
             else:
                 u, resj, itersj = step_fn(mesh, u, cfl, rtol, omega_cap,
-                                          lmesh=lmesh, mg=mg)
+                                          lmesh=lmesh, mg=mg, ilu=ilu)
             resold = res
             res = float(resj)
             info.total_lin_iters += int(itersj)
@@ -638,6 +695,7 @@ class SteadyBackwardEuler:
                 omega_cap = 0.2        # heavily damped recovery steps
                 if du_prev is not None:
                     du_prev = jnp.zeros_like(u)   # drop the stale guess
+                U_defl = None          # drop the stale recycle space
                 kind = "blowup" if blown else "NaN residual"
                 print(f"  BE: {kind}, retrying from "
                       f"{'best' if blown else 'previous'} state at CFL "
@@ -656,6 +714,7 @@ class SteadyBackwardEuler:
                     cfl = max(cfl * 0.1, 1.0)
                     rtol = rtol_floor = self.lin.rtol
                     stall_count = 0
+                    U_defl = None      # drop the stale recycle space
                     print(f"  BE: frozen residual, dropping to CFL "
                           f"{cfl:.1f} with tight linear solves")
             else:

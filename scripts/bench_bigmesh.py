@@ -1,0 +1,162 @@
+"""Large-mesh benchmark (VERDICT r2 item 1): full adaptive implicit solves
+on generated NACA0012 O-meshes from 12.8k to 819.2k cells.
+
+Round 2 capped at ~205k cells because every solver jitted
+`partial(step, mesh)`, baking O(mesh) constants into the XLA program (the
+axon remote-compile upload limit rejected the program, HTTP 413). With the
+mesh as a jit ARGUMENT (round 3) the program is O(1) in mesh size; this
+script demonstrates the >=200k-cell regime the reference handles routinely
+— and where the TPU's throughput advantage actually shows (the 13k-cell
+driver case is latency-bound).
+
+Per mesh: the bench.py solver configuration (Roe + WLS + linear
+reconstruction, implicit BE, mixed precision, bsgs x6, FGMRES(90)
+rtol 1e-2, CFL 500->5000) run to rel 1e-6 (the reference ctrl's stopping
+rule) or abs 1e-10, whichever first. Reports wall (compile excluded via a
+warmup solve, same rule as bench.py) and cell-updates/s. Writes/merges
+BENCH_BIGMESH.json at the repo root.
+
+Usage:
+  python scripts/bench_bigmesh.py --sizes 160x80 640x320 1280x640
+  python scripts/bench_bigmesh.py --sizes 640x320 --cpu-rate-probe
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+
+def build_case(ni, nj, platform=None):
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_enable_x64", True)
+    cache = ("/tmp/fvens_jax_cache" if platform == "cpu"
+             else os.path.expanduser("~/.cache/fvens_tpu/jax"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from fvens_tpu.config import (BCSpec, FlowCaseConfig, LinearSolverConfig,
+                                  NonlinearUpdateConfig, NumericsConfig,
+                                  PhysicsConfig, PseudoTimeConfig)
+    from fvens_tpu.cases.casesolvers import build_space, initial_state
+    from fvens_tpu.mesh import compile_mesh
+    from fvens_tpu.mesh.meshgen import naca0012_omesh
+    from fvens_tpu.solver.steady import SteadyBackwardEuler
+
+    md = naca0012_omesh(ni, nj)
+    pcfg = PhysicsConfig(Minf=0.5, Reinf=5000.0, Tinf=288.15, viscous=True)
+    ncfg = NumericsConfig(flux="ROE", gradient="LEASTSQUARES",
+                          reconstruction="LINEAR", order2=True)
+    bcs = [BCSpec(marker=2, type="adiabaticwall", values=(0.0,)),
+           BCSpec(marker=4, type="inflowoutflow")]
+    cfg = FlowCaseConfig(physics=pcfg, numerics=ncfg, bcs=bcs)
+    mesh = compile_mesh(md, bcs, dtype=jnp.float64)
+    space = build_space(cfg)
+    lin = LinearSolverConfig(restart=90, maxiter=90, rtol=1e-2,
+                             pc="bsgs", pc_sweeps=6, mixed_precision=True)
+    pt = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0,
+                          tol=1e-6, tol_abs=1e-10, maxiter=600)
+    solver = SteadyBackwardEuler(space, pt, lin,
+                                 NonlinearUpdateConfig("full"))
+    u0 = initial_state(space, mesh).astype(jnp.float64)
+    return solver, mesh, u0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", nargs="+", default=["640x320"],
+                    help="O-mesh dims ni x nj (cells = 4*ni*nj/... see "
+                         "meshgen); e.g. 160x80 320x160 640x320 1280x640")
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (default: best available)")
+    ap.add_argument("--cpu-rate-probe", action="store_true",
+                    help="also time 3 implicit steps on the host CPU for a "
+                         "rate (NOT a full solve; hours at these sizes)")
+    ap.add_argument("--log-every", type=int, default=20)
+    ap.add_argument("--out", default=os.path.join(_ROOT,
+                                                  "BENCH_BIGMESH.json"))
+    args = ap.parse_args()
+
+    results = []
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f).get("runs", [])
+
+    import jax
+    for size in args.sizes:
+        ni, nj = (int(x) for x in size.split("x"))
+        solver, mesh, u0 = build_case(ni, nj, platform=args.platform)
+        platform = jax.devices()[0].platform
+        print(f"--- {size}: {mesh.n_cells} cells on {platform}")
+
+        t0 = time.perf_counter()
+        u, info = solver.solve(mesh, u0, log_every=args.log_every)
+        jax.block_until_ready(u)
+        wall_cold = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        u, info = solver.solve(mesh, u0, log_every=args.log_every)
+        jax.block_until_ready(u)
+        wall = time.perf_counter() - t0
+
+        rec = {
+            "size": size, "cells": mesh.n_cells, "platform": platform,
+            "wall_s": wall, "wall_incl_compile_s": wall_cold,
+            "steps": info.steps, "lin_iters": info.total_lin_iters,
+            "relres": info.finalres / info.initres,
+            "absres": info.finalres,
+            "cell_updates_per_sec": mesh.n_cells * info.steps / wall,
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        print(json.dumps(rec))
+        results = [r for r in results
+                   if not (r["size"] == size and r["platform"] == platform)]
+        results.append(rec)
+        with open(args.out, "w") as f:
+            json.dump({"runs": results}, f, indent=1)
+
+    if args.cpu_rate_probe:
+        # a 3-step rate probe on the host CPU (full CPU solves at these
+        # sizes take hours; the probe gives the honest rate comparison)
+        import jax
+        for size in args.sizes:
+            ni, nj = (int(x) for x in size.split("x"))
+            solver, mesh, u0 = build_case(ni, nj, platform="cpu")
+            import jax.numpy as jnp
+            step = jax.jit(solver._step)
+            lmesh = mesh.astype(jnp.float32)
+            u, r, it = step(mesh, u0, 500.0, 1e-2, lmesh=lmesh)  # compile
+            jax.block_until_ready(u)
+            t0 = time.perf_counter()
+            nprobe = 3
+            for _ in range(nprobe):
+                u, r, it = step(mesh, u, 500.0, 1e-2, lmesh=lmesh)
+            jax.block_until_ready(u)
+            dt = (time.perf_counter() - t0) / nprobe
+            rec = {
+                "size": size, "cells": mesh.n_cells, "platform": "cpu",
+                "probe_steps": nprobe, "s_per_step": dt,
+                "cell_updates_per_sec": mesh.n_cells / dt,
+                "rate_probe": True,
+                "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+            print(json.dumps(rec))
+            results = [r for r in results
+                       if not (r.get("rate_probe")
+                               and r["size"] == size)]
+            results.append(rec)
+            with open(args.out, "w") as f:
+                json.dump({"runs": results}, f, indent=1)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -129,6 +129,66 @@ def test_gmres_against_dense_solve():
     np.testing.assert_allclose(np.asarray(x), xd, rtol=1e-8, atol=1e-9)
 
 
+def test_gmres_dr_against_dense_solve():
+    """GCRO-DR (solver/linear.py:gmres_dr) must solve to the same answer as
+    a dense solve, both on the first call (no recycle space: plain projected
+    Arnoldi + harvest) and on a second call reusing the harvested space."""
+    rng = np.random.default_rng(1)
+    n, v, k = 24, 4, 6
+    A = np.eye(n * v) * 4.0 + 0.3 * rng.standard_normal((n * v, n * v))
+    b = rng.standard_normal((n, v))
+    from fvens_tpu.solver.linear import gmres_dr
+    Aj = jnp.asarray(A)
+    mv = lambda x: (Aj @ x.reshape(-1)).reshape(n, v)
+    ident = lambda z: z
+
+    bj = jnp.asarray(b)
+    x, iters, rel, U = gmres_dr(mv, bj, jnp.zeros_like(bj), ident, U=None,
+                                k=k, restart=60, maxiter=60, rtol=1e-12)
+    xd = np.linalg.solve(A, b.reshape(-1)).reshape(n, v)
+    np.testing.assert_allclose(np.asarray(x), xd, rtol=1e-8, atol=1e-9)
+    assert U.shape == (k, n, v)
+
+    b2 = jnp.asarray(rng.standard_normal((n, v)))
+    x2, it2, rel2, U2 = gmres_dr(mv, b2, jnp.zeros_like(b2), ident, U=U,
+                                 k=k, restart=60, maxiter=60, rtol=1e-12)
+    xd2 = np.linalg.solve(A, np.asarray(b2).reshape(-1)).reshape(n, v)
+    np.testing.assert_allclose(np.asarray(x2), xd2, rtol=1e-7, atol=1e-8)
+
+
+def test_gmres_dr_recycling_cuts_iterations():
+    """On a sequence of slowly varying systems (the GCRO-DR use case), the
+    recycled deflation space must reduce Krylov iterations vs cold GMRES.
+    Ill-conditioned model problem: a few isolated small eigenvalues (the
+    'slow directions' recycling is designed to capture)."""
+    rng = np.random.default_rng(2)
+    n = 96
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    evals = np.linspace(1.0, 2.0, n)
+    evals[:4] = [1e-3, 2e-3, 3e-3, 4e-3]     # slow modes
+    from fvens_tpu.solver.linear import gmres, gmres_dr
+    ident = lambda z: z
+    k, m = 6, 20
+
+    U = None
+    cold_total, defl_total = 0, 0
+    for s in range(4):
+        A = Q @ np.diag(evals * (1.0 + 0.01 * s)) @ Q.T
+        Aj = jnp.asarray(A)
+        mv = lambda x: Aj @ x
+        b = jnp.asarray(rng.standard_normal(n))
+        _, it_cold, rel_c = gmres(mv, b, jnp.zeros_like(b), ident,
+                                  restart=m, maxiter=5 * m, rtol=1e-8)
+        _, it_dr, rel_d, U = gmres_dr(mv, b, jnp.zeros_like(b), ident, U=U,
+                                      k=k, restart=m, maxiter=5 * m,
+                                      rtol=1e-8)
+        assert float(rel_c) < 1e-7 and float(rel_d) < 1e-7
+        if s > 0:                      # first call has nothing to recycle
+            cold_total += int(it_cold)
+            defl_total += int(it_dr)
+    assert defl_total < 0.75 * cold_total, (defl_total, cold_total)
+
+
 def test_chunked_device_stepping_matches_single_step():
     """device_steps>1 runs the CFL ramp + forcing controller inside the
     jitted program (lax.scan); the trajectory must match the single-step
@@ -157,3 +217,115 @@ def test_chunked_device_stepping_matches_single_step():
     assert float(jnp.abs(u1 - u8).max()) < 1e-5
     # history is recorded per step in both modes
     assert len(i8.history) == i8.steps
+
+
+def _bench_like_jacobian(nbig=24, nsm=10):
+    """A real implicit-step Jacobian on a small cylinder mesh."""
+    from fvens_tpu.solver import jacobian as jacmod
+    md = cylinder_omesh(nbig, nsm)
+    cm = compile_mesh(md, BCS)
+    space = make_space(order2=False)
+    u = jnp.tile(space.uinf, (cm.NC, 1))
+    rhs, dt = space.compute_residual(cm, u, True)
+    jac = jacmod.assemble_jacobian(space, cm, u)
+    jac = jacmod.add_pseudotime_term(cm, jac, 50.0, dt)
+    return cm, jac, rhs
+
+
+def _dense_from_slots(cm, D, N):
+    """Dense (NC*V, NC*V) matrix from slot-block storage (tests only)."""
+    NC, V = D.shape[0], D.shape[-1]
+    nbrs = np.asarray(cm.cell_nbrs)
+    mask = np.asarray(cm.nbr_mask) > 0
+    A = np.zeros((NC * V, NC * V))
+    Dn, Nn = np.asarray(D), np.asarray(N)
+    for c in range(NC):
+        A[c * V:(c + 1) * V, c * V:(c + 1) * V] = Dn[c]
+        for k in range(nbrs.shape[1]):
+            if mask[c, k]:
+                j = nbrs[c, k]
+                A[c * V:(c + 1) * V, j * V:(j + 1) * V] += Nn[c, k]
+    return A
+
+
+def test_ilu0_exact_fixed_point():
+    """With enough Chow-Patel sweeps the fixed point IS the exact block
+    ILU0: (L U) must equal A on the sparsity pattern (the ILU0 defining
+    property; the reference's BLASTed factorization satisfies it exactly
+    in its synchronous limit)."""
+    from fvens_tpu.solver.ilu import ilu_factorize, ilu_structure
+    cm, jac, _ = _bench_like_jacobian()
+    st = ilu_structure(cm)
+    L, Ud, Udinv, Us = ilu_factorize(cm, jac, st, sweeps=80)
+
+    NC, V = jac.D.shape[0], jac.D.shape[-1]
+    A = _dense_from_slots(cm, jac.D, jac.N)
+    Ld = _dense_from_slots(cm, np.zeros_like(np.asarray(jac.D)), L) \
+        + np.eye(NC * V)
+    Uden = _dense_from_slots(cm, Ud, Us)
+    M = Ld @ Uden
+    # compare ON the pattern only (off-pattern fill is the "incomplete")
+    nbrs = np.asarray(cm.cell_nbrs)
+    mask = np.asarray(cm.nbr_mask) > 0
+    scale = np.abs(np.asarray(jac.D)).max()
+    for c in range(cm.n_cells):
+        np.testing.assert_allclose(
+            M[c * V:(c + 1) * V, c * V:(c + 1) * V],
+            A[c * V:(c + 1) * V, c * V:(c + 1) * V],
+            atol=1e-9 * scale)
+        for k in range(nbrs.shape[1]):
+            if mask[c, k]:
+                j = nbrs[c, k]
+                np.testing.assert_allclose(
+                    M[c * V:(c + 1) * V, j * V:(j + 1) * V],
+                    A[c * V:(c + 1) * V, j * V:(j + 1) * V],
+                    atol=1e-9 * scale)
+
+
+def test_ilu0_apply_matches_dense_triangular_solve():
+    """With many truncated-Neumann sweeps the ILU0 application must match
+    the exact (dense) solve with the factored M = L U."""
+    from fvens_tpu.solver.ilu import (ilu_factorize, ilu_structure,
+                                      make_ilu_apply)
+    cm, jac, rhs = _bench_like_jacobian()
+    st = ilu_structure(cm)
+    L, Ud, Udinv, Us = ilu_factorize(cm, jac, st, sweeps=80)
+    pc = make_ilu_apply(cm, L, Udinv, Us, sweeps=120)
+    z = np.asarray(pc(rhs))
+
+    NC, V = jac.D.shape[0], jac.D.shape[-1]
+    Ld = _dense_from_slots(cm, np.zeros_like(np.asarray(jac.D)), L) \
+        + np.eye(NC * V)
+    Uden = _dense_from_slots(cm, Ud, Us)
+    zd = np.linalg.solve(Ld @ Uden,
+                         np.asarray(rhs).reshape(-1)).reshape(NC, V)
+    np.testing.assert_allclose(z, zd, rtol=1e-6, atol=1e-8)
+
+
+def test_ilu0_preconditioned_solve_converges():
+    """Full implicit solve with pc='ilu0' (Chow-Patel sweeps at practical
+    counts) reaches the same converged state as the bsgs solve.
+
+    Measured (docs/BENCH_NOTES.md round 3): on these Jacobians even the
+    EXACT ILU0 is weaker per Krylov iteration than the degree-6
+    block-Jacobi Neumann polynomial, so the gate here is correctness and
+    a bounded iteration overhead, not superiority."""
+    md = cylinder_omesh(24, 10)
+    cm = compile_mesh(md, BCS)
+    space = make_space(order2=False)
+    pt = PseudoTimeConfig(cfl_init=50.0, cfl_fin=500.0, tol=1e-6,
+                          maxiter=200)
+    nl = NonlinearUpdateConfig(scheme="full")
+    u0 = jnp.tile(space.uinf, (cm.NC, 1))
+
+    results = {}
+    for pc, sweeps in (("bsgs", 4), ("ilu0", 3)):
+        lin = LinearSolverConfig(restart=40, maxiter=40, rtol=1e-3,
+                                 pc=pc, pc_sweeps=sweeps)
+        solver = SteadyBackwardEuler(space, pt, lin, nl)
+        u, info = solver.solve(cm, u0)
+        assert info.converged
+        results[pc] = (np.asarray(u), info.total_lin_iters)
+    np.testing.assert_allclose(results["ilu0"][0], results["bsgs"][0],
+                               rtol=1e-5, atol=1e-8)
+    assert results["ilu0"][1] <= 2 * results["bsgs"][1], results
