@@ -211,7 +211,13 @@ def test_bj_limited_solve_entropy_magnitude(refdir):
     the entropy error must stay within a small factor of the UNLIMITED
     second-order solve on the same mesh (BJ clips smooth extrema, adding
     diffusion - bounded here by 3x - but a sign/scale bug would blow far
-    past that), and must beat first order (no-reconstruction) clearly."""
+    past that), and must beat first order (no-reconstruction) clearly.
+
+    BJ's non-differentiable clipping limit-cycles at relres ~2-5e-3 on
+    this case (measured; the classic behaviour Venkatakrishnan's smooth
+    variant was invented to fix - the reference converges no BJ case
+    either), so the BJ leg stops at 5e-3 - the entropy integral is
+    settled there."""
     import dataclasses as _dc
     base = cyl_config("HLLC", "LEASTSQUARES")
     ent = {}
@@ -219,6 +225,8 @@ def test_bj_limited_solve_entropy_magnitude(refdir):
         num = _dc.replace(base.numerics, reconstruction=recon,
                           order2=recon != "NONE")
         cfg = _dc.replace(base, numerics=num)
+        if recon == "BARTHJESPERSEN":
+            cfg = _dc.replace(cfg, main=_dc.replace(cfg.main, tol=5e-3))
         case = SteadyFlowCase(cfg)
         mesh = load_case_mesh(
             cfg, str(refdir / "testcases/2dcylinder/grids/2dcylinder1.msh"))
