@@ -286,10 +286,10 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
     log_label = "dBE"
 
     def __post_init__(self):
-        if self.lin.pc in ("bline", "amg", "ilu0"):
+        if self.lin.pc in ("bline", "amg"):
             raise NotImplementedError(
                 f"pc={self.lin.pc!r} has no distributed form yet; use "
-                "bjacobi/bsgs/bcsgs (shard-local additive Schwarz)")
+                "bjacobi/bsgs/bcsgs/ilu0 (shard-local additive Schwarz)")
         if self.lin.matrix_free:
             raise NotImplementedError(
                 "distributed matrix-free matvec not wired yet")
@@ -314,6 +314,26 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
     def _mg(self, mesh):
         return None
 
+    def _ilu(self, dmesh):
+        """Per-part ILU0 sparsity analysis (pc='ilu0'): one ILUStructure
+        per shard-local mesh, stacked on the device axis — the local half
+        of the reference's parallel bjacobi+ILU0 default."""
+        if self.lin.pc != "ilu0":
+            return None
+        cache = getattr(self, "_ilu_cache", None)
+        key = id(dmesh)
+        if cache is None or cache[0] != key:
+            from ..solver.ilu import ILUStructure, ilu_structure
+            mesh_st = dmesh.mesh
+            D = mesh_st.cell_nbrs.shape[0]
+            parts = [ilu_structure(jax.tree_util.tree_map(
+                lambda x, p=p: x[p], mesh_st)) for p in range(D)]
+            stacked = ILUStructure(*[
+                jnp.stack([getattr(s, f) for s in parts])
+                for f in ILUStructure._fields])
+            self._ilu_cache = (key, stacked)
+        return self._ilu_cache[1]
+
     def _step(self, dmesh, u, cfl, rtol, omega_cap=1.0, du0=None,
               return_du=False, lmesh=None, mg=None, U0=None,
               return_defl=False, ilu=None):
@@ -331,8 +351,8 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
         mixed = lin.mixed_precision and u.dtype == jnp.float64
         lm = lmesh if (mixed and lmesh is not None) else dmesh
 
-        def body(mesh_st, lmesh_st, pps, ppr, u_sh, du0_sh, cflj, rtolj,
-                 ocap):
+        def body(mesh_st, lmesh_st, pps, ppr, u_sh, du0_sh, ilu_st, cflj,
+                 rtolj, ocap):
             mesh_loc = jax.tree_util.tree_map(lambda x: x[0], mesh_st)
             exch = flow._exch(pps, ppr)
             ex = partial(halo_exchange, exch)
@@ -353,7 +373,14 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
 
             jac = space.assemble_jacobian(lmesh_loc, lu)
             jac = jacmod.add_pseudotime_term(lmesh_loc, jac, lcfl, ldt)
-            pc = make_preconditioner(lmesh_loc, jac, lin.pc, lin.pc_sweeps)
+            # shard-local preconditioner = additive Schwarz — for
+            # pc='ilu0' exactly the reference's parallel default layout,
+            # per-rank bjacobi with a local ILU0 (defaults.solverc:16-19)
+            ilu_loc = (jax.tree_util.tree_map(lambda x: x[0], ilu_st)
+                       if lin.pc == "ilu0" else None)
+            pc = make_preconditioner(lmesh_loc, jac, lin.pc, lin.pc_sweeps,
+                                     ilu=ilu_loc,
+                                     ilu_setup=lin.ilu_setup_sweeps)
             mv_loc = make_bsr_matvec(lmesh_loc, jac)
 
             def matvec(x):
@@ -410,10 +437,16 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
         out_specs = ((P(AXIS), P(), P(), P(AXIS)) if return_du
                      else (P(AXIS), P(), P()))
         du0_arg = du0 if warm else u    # dummy, sliced but unused
+        # pc='ilu0': the stacked per-part ILUStructure rides the device
+        # axis; for other pcs pass the (leafless) None pytree
+        ilu_arg = ilu if self.lin.pc == "ilu0" else None
+        ilu_spec = (jax.tree_util.tree_map(lambda _: P(AXIS), ilu_arg)
+                    if ilu_arg is not None else None)
         return jax.shard_map(
             body, mesh=flow.jmesh,
             in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                      P(), P(), P()),
+                      ilu_spec, P(), P(), P()),
             out_specs=out_specs,
         )(dmesh.mesh, lm.mesh, dmesh.pp_send, dmesh.pp_recv, u, du0_arg,
-          jnp.asarray(cfl), jnp.asarray(rtol), jnp.asarray(omega_cap))
+          ilu_arg, jnp.asarray(cfl), jnp.asarray(rtol),
+          jnp.asarray(omega_cap))

@@ -228,9 +228,11 @@ def test_sharded_implicit_step_matches_single_device():
 
 
 @pytest.mark.slow
-def test_distributed_implicit_solve_converges():
+@pytest.mark.parametrize("pc", ["bcsgs", "ilu0"])
+def test_distributed_implicit_solve_converges(pc):
     """Full distributed implicit solve on 8 virtual devices reaches the same
-    entropy as the single-device solver."""
+    entropy as the single-device solver. pc='ilu0' exercises the shard-local
+    Schwarz-ILU0 — the reference's parallel bjacobi+ILU0 default layout."""
     ndev = len(jax.devices())
     md = cylinder_omesh(32, 12)
     space = make_space(order2=True)
@@ -241,7 +243,7 @@ def test_distributed_implicit_solve_converges():
     u, info = sf.solve_implicit(
         PseudoTimeConfig(cfl_init=25.0, cfl_fin=500.0, tol=1e-5, maxiter=300),
         lin=LinearSolverConfig(restart=60, maxiter=60, rtol=1e-2,
-                               rtol_adapt=False),
+                               rtol_adapt=False, pc=pc, pc_sweeps=3),
         nl=NonlinearUpdateConfig(scheme="robust_flow"))
     assert info.converged
     ug = sf.gather_solution(np.asarray(u))
