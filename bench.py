@@ -108,8 +108,24 @@ def load_cpu_baseline():
     return rec, stale
 
 
-def run_solve(platform=None, mixed=True, pc="bsgs", sweeps=6):
+def run_solve(platform=None, mixed=True, pc="bsgs", sweeps=6,
+              two_phase=0.0):
     """Build the visc-naca0012 case and return a closure running the solve.
+
+    two_phase > 0 enables PRECISION SCHEDULING: phase A runs the whole
+    solver (residual, update, controller state - not just the Krylov
+    inner loop) in f32 until the ABSOLUTE residual reaches `two_phase`,
+    then phase B casts the state up and continues in f64 (with the f32
+    Krylov of `mixed`) to the absolute target, starting its CFL ramp at
+    phase A's final CFL. On TPU f64 is software-emulated, so the f64
+    residual/update/Jacobian-seed work dominates the per-step cost the
+    mixed mode still pays during the transient; the certified 1e-10
+    residual comes from the f64 endgame. The gate is ABSOLUTE because on
+    this case the freestream-init residual (abs 1.75e-14) first GROWS
+    while the flow develops (docs/BENCH_NOTES.md round 2), so relative
+    levels are meaningless; the f32 evaluation floor is ~1.5e-4 absolute
+    here (measured: the f32 solve stalls there), and the default gate
+    1e-3 keeps ~7x margin above it.
 
     Returns (solve, mesh) where solve() -> (u, steps, lin_iters)."""
     import jax
@@ -151,6 +167,26 @@ def run_solve(platform=None, mixed=True, pc="bsgs", sweeps=6):
                           tol=1e-16, tol_abs=TOL_ABS, maxiter=600)
     solver = SteadyBackwardEuler(space, pt, lin, nl)
 
+    if two_phase:
+        mesh32 = mesh.astype(jnp.float32)
+        pt_a = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0,
+                                tol=1e-16, tol_abs=float(two_phase),
+                                maxiter=600)
+        solver_a = SteadyBackwardEuler(space, pt_a, lin, nl)
+
+        def solve():
+            u32 = initial_state(space, mesh32).astype(jnp.float32)
+            u32, ia = solver_a.solve(mesh32, u32)
+            cfl_b = ia.history[-1][3] if ia.history else 500.0
+            pt_b = PseudoTimeConfig(cfl_init=float(cfl_b), cfl_fin=5000.0,
+                                    tol=1e-16, tol_abs=TOL_ABS, maxiter=600)
+            solver_b = SteadyBackwardEuler(space, pt_b, lin, nl)
+            u, ib = solver_b.solve(mesh, u32.astype(jnp.float64))
+            return (u, ia.steps + ib.steps,
+                    ia.total_lin_iters + ib.total_lin_iters)
+
+        return solve, mesh
+
     def solve():
         u0 = initial_state(space, mesh).astype(jnp.float64)
         u, info = solver.solve(mesh, u0)
@@ -160,9 +196,17 @@ def run_solve(platform=None, mixed=True, pc="bsgs", sweeps=6):
 
 
 def main() -> int:
+    import argparse
     import jax
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--two-phase", type=float, default=0.0, nargs="?",
+                    const=1e-3, dest="two_phase",
+                    help="precision scheduling: f32 phase down to this "
+                         "ABSOLUTE residual, then f64 to the 1e-10 "
+                         "absolute target (default gate 1e-3)")
+    args = ap.parse_args()
     base, stale = load_cpu_baseline()
-    solve, mesh = run_solve()
+    solve, mesh = run_solve(two_phase=args.two_phase)
 
     solve()                      # warmup: compile (not measured)
 
@@ -190,6 +234,8 @@ def main() -> int:
         out["vs_cpu_best"] = (base["cpu_best_wall"] / TARGET_FACTOR) / wall
     if "t_bound_s" in base:
         out["vs_fvens_bound"] = (base["t_bound_s"] / TARGET_FACTOR) / wall
+    if args.two_phase:
+        out["two_phase_gate"] = args.two_phase
     if stale:
         out["baseline_stale"] = True
     print(json.dumps(out))
