@@ -27,11 +27,11 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
 
-def _timed_solve(mixed, pc, sweeps):
+def _timed_solve(mixed, pc, sweeps, two_phase=0.0):
     from bench import run_solve
     import jax
     solve, mesh = run_solve(platform="cpu", mixed=mixed, pc=pc,
-                            sweeps=sweeps)
+                            sweeps=sweeps, two_phase=two_phase)
     # warmup run: triggers compilation (bench.py excludes compile the same
     # way); second run is the recorded number
     u, steps, lin_iters = solve()
@@ -81,11 +81,15 @@ def main() -> int:
         print(json.dumps({"config": "f64", "wall": wall, "steps": steps,
                           "lin_iters": iters}))
     if not args.skip_mixed:
-        wall, steps, iters, cells = _timed_solve(True, args.pc, args.sweeps)
+        # our best CPU config: two-phase precision scheduling (f32 phase
+        # to abs 1e-3, then mixed-f64 endgame) — bench.py run_solve
+        wall, steps, iters, cells = _timed_solve(True, args.pc, args.sweeps,
+                                                 two_phase=1e-3)
         record.update(cpu_best_wall=wall, cpu_best_steps=steps,
-                      cpu_best_lin_iters=iters, cells=cells)
-        print(json.dumps({"config": "mixed", "wall": wall, "steps": steps,
-                          "lin_iters": iters}))
+                      cpu_best_lin_iters=iters, cells=cells,
+                      cpu_best_two_phase=1e-3)
+        print(json.dumps({"config": "mixed+two-phase", "wall": wall,
+                          "steps": steps, "lin_iters": iters}))
 
     print(json.dumps(record))
     with open(args.out, "w") as f:
