@@ -123,6 +123,19 @@ class PseudoTimeConfig:
     #                                    blowup, stall) exit the chunk and
     #                                    fall back to the single-step host
     #                                    recovery path.
+    bake_mesh: bool = False            # close the mesh over the jitted step
+    #                                    as a COMPILED CONSTANT instead of a
+    #                                    runtime argument. Constant-folding
+    #                                    makes the program O(mesh) large
+    #                                    (caps usable meshes ~205k cells via
+    #                                    the remote-compile upload limit) but
+    #                                    removes the per-call host marshal of
+    #                                    the mesh pytree, which measures
+    #                                    ~100 ms/step over the axon tunnel
+    #                                    (t_dispatch, docs/BENCH_NOTES.md
+    #                                    round 3). Use for production solves
+    #                                    on meshes that fit; classic path
+    #                                    (no warm start/deflation) only.
     blowup_relres: float = 1e5         # residual growth beyond this factor
     #                                    over the initial residual counts as
     #                                    numerical blowup: the implicit solver

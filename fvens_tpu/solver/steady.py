@@ -52,6 +52,11 @@ class SolveInfo:
     total_lin_iters: int = 0
     walltime: float = 0.0
     history: list = dataclasses.field(default_factory=list)
+    # host-loop timing breakdown (single-step implicit path): async enqueue
+    # wall vs device-compute + fetch wall (remote-TPU tunnel diagnosis)
+    t_dispatch: float = 0.0
+    t_fetch: float = 0.0
+    step_times: list = dataclasses.field(default_factory=list)
 
 
 def residual_norm(mesh, rhs):
@@ -148,7 +153,12 @@ class SteadyForwardEuler:
         # not a closed-over constant: baking O(mesh) arrays into the XLA
         # program as literals makes the program size grow with the mesh,
         # which capped usable meshes at ~205k cells (round-2 finding)
-        step_fn = jax.jit(self._step)
+        # one jitted program per solver instance: rebuilding the jit
+        # wrapper per solve() would retrace on every solve (see
+        # SteadyBackwardEuler._jit)
+        step_fn = getattr(self, "_step_jit", None)
+        if step_fn is None:
+            step_fn = self._step_jit = jax.jit(self._step)
         u = u0
         info = SolveInfo()
         t0 = time.perf_counter()
@@ -251,6 +261,23 @@ class SteadyBackwardEuler:
             from .ilu import ilu_structure
             self._ilu_cache = (key, ilu_structure(mesh))
         return self._ilu_cache[1]
+
+    def _jit(self, key, make):
+        """Per-instance cache of jitted step programs.
+
+        jax.jit(self._step) builds a FRESH wrapper (fresh trace cache) on
+        every call: rebuilding it inside solve() made every solve pay the
+        full retrace + executable-cache load again — measured 7.6 s of the
+        17.6 s bench solve on the tunnelled TPU (docs/BENCH_NOTES.md round
+        3). The program depends only on self's configs (and, for baked
+        variants, the mesh identity baked into `key`), so caching by key
+        on the instance is safe and trajectory-neutral."""
+        cache = getattr(self, "_jit_programs", None)
+        if cache is None:
+            cache = self._jit_programs = {}
+        if key not in cache:
+            cache[key] = make()
+        return cache[key]
 
     def _step(self, mesh, u, cfl, rtol, omega_cap=1.0, du0=None,
               return_du=False, lmesh=None, mg=None, U0=None,
@@ -468,16 +495,32 @@ class SteadyBackwardEuler:
         # program made program size scale with the mesh and capped usable
         # meshes at ~205k cells (round-2 finding, docs/BENCH_NOTES.md)
         defl = self.lin.deflation_k > 0
-        step_fn = (jax.jit(partial(self._step, return_du=True))
-                   if warm else jax.jit(self._step))
+        step_fn = (self._jit("warm", lambda: jax.jit(
+                       partial(self._step, return_du=True)))
+                   if warm else
+                   self._jit("classic", lambda: jax.jit(self._step)))
         # GCRO-DR recycling: a separate traced program, used only below
         # deflation_start_relres (stale recycle spaces derail the violent
         # transient phase); until then the CLASSIC program runs, so gated
         # trajectories are bit-identical to the default until the gate opens
-        defl_fn = (jax.jit(partial(self._step, return_du=warm,
-                                   return_defl=True)) if defl else None)
+        defl_fn = (self._jit(("defl", warm), lambda: jax.jit(
+            partial(self._step, return_du=warm, return_defl=True)))
+            if defl else None)
         mixed = self.lin.mixed_precision and u0.dtype == jnp.float64
         lmesh = mesh.astype(jnp.float32) if mixed else mesh
+        if self.cfg.bake_mesh and not warm and not defl:
+            # opt-in (cfg.bake_mesh): close mesh/lmesh over the program as
+            # compiled constants. Removes the ~100 ms/step host marshal of
+            # the mesh pytree on remote-dispatch backends at the price of an
+            # O(mesh)-size program (so: small/medium meshes only). The r2
+            # bench trajectory (79 steps / 5,348 iters) was produced by
+            # exactly this baked program, so the knife-edge risk is known.
+            _core = self._jit(("baked", id(mesh)), lambda: jax.jit(
+                lambda u, cfl, rtol, omega_cap: self._step(
+                    mesh, u, cfl, rtol, omega_cap,
+                    lmesh=lmesh, mg=mg, ilu=ilu)))
+            step_fn = (lambda _m, u, cfl, rtol, omega_cap=1.0, **_kw:
+                       _core(u, cfl, rtol, omega_cap))
         u = u0
         info = SolveInfo()
         t0 = time.perf_counter()
@@ -528,7 +571,8 @@ class SteadyBackwardEuler:
         K = max(1, int(self.cfg.device_steps))
         # the chunked device-side controller implements the exp ramp only;
         # the (step-indexed) linear ramp runs through the host loop
-        chunk_fn = (jax.jit(partial(self._chunk, K))
+        chunk_fn = (self._jit(("chunk", K),
+                              lambda: jax.jit(partial(self._chunk, K)))
                     if K > 1 and self.cfg.cfl_ramp == "exp" and not defl
                     else None)
         U_defl = None           # recycled Krylov space (lin.deflation_k)
@@ -634,6 +678,7 @@ class SteadyBackwardEuler:
                        and res <= self.lin.deflation_start_relres * initres)
             if not defl_on:
                 U_defl = None     # space from before a recovery/gate-close
+            td = time.perf_counter()
             if defl_on and warm:
                 u, resj, itersj, du_prev, U_defl = defl_fn(
                     mesh, u, cfl, rtol, omega_cap, du_prev,
@@ -651,8 +696,16 @@ class SteadyBackwardEuler:
                 u, resj, itersj = step_fn(mesh, u, cfl, rtol, omega_cap,
                                           lmesh=lmesh, mg=mg, ilu=ilu)
             resold = res
-            res = float(resj)
-            info.total_lin_iters += int(itersj)
+            tf = time.perf_counter()
+            info.t_dispatch += tf - td
+            # ONE fused device fetch (a tuple get is a single ~24 ms tunnel
+            # round trip on the remote TPU; two separate gets cost two)
+            res_v, iters_v = jax.device_get((resj, itersj))
+            res = float(res_v)
+            info.total_lin_iters += int(iters_v)
+            tz = time.perf_counter()
+            info.t_fetch += tz - tf
+            info.step_times.append((tf - td, tz - tf, int(iters_v)))
             finite = np.isfinite(res)
             # numerical blowup: finite residual but far beyond any physical
             # transient (shock-formation transients peak ~1e2-1e3 x initres;
@@ -726,7 +779,7 @@ class SteadyBackwardEuler:
             info.history.append((step, res / initres, res, cfl))
             if logger:
                 logger.log(step, res / initres, res,
-                           lin_iters=int(itersj), cfl=cfl)
+                           lin_iters=int(iters_v), cfl=cfl)
             if (self.checkpoint_path and self.checkpoint_every
                     and step % self.checkpoint_every == 0):
                 from ..io_config.checkpoint import save_checkpoint

@@ -47,8 +47,12 @@ class TVDRKSolver:
 
     def solve(self, mesh, u0, final_time: float):
         # mesh passed as a jit argument (not a baked constant): keeps the
-        # compiled program O(1) in mesh size (see SteadyBackwardEuler.solve)
-        step_fn = jax.jit(self._step)
+        # compiled program O(1) in mesh size (see SteadyBackwardEuler.solve).
+        # The jit wrapper is cached on the instance: rebuilding it per
+        # solve() retraces the program every solve (steady.py _jit).
+        step_fn = getattr(self, "_step_jit", None)
+        if step_fn is None:
+            step_fn = self._step_jit = jax.jit(self._step)
         u = u0
         t = 0.0
         nsteps = 0
