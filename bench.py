@@ -168,19 +168,25 @@ def run_solve(platform=None, mixed=True, pc="bsgs", sweeps=6,
     solver = SteadyBackwardEuler(space, pt, lin, nl)
 
     if two_phase:
+        import dataclasses
+
         mesh32 = mesh.astype(jnp.float32)
         pt_a = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0,
                                 tol=1e-16, tol_abs=float(two_phase),
                                 maxiter=600)
         solver_a = SteadyBackwardEuler(space, pt_a, lin, nl)
+        # ONE phase-B solver reused across calls: its jitted step program
+        # does not depend on PseudoTimeConfig (host-controller-only), so
+        # only the cfg is swapped per call — a fresh solver per call would
+        # retrace the program inside the MEASURED solve (the per-instance
+        # jit cache, solver/steady.py:_jit)
+        solver_b = SteadyBackwardEuler(space, pt, lin, nl)
 
         def solve():
             u32 = initial_state(space, mesh32).astype(jnp.float32)
             u32, ia = solver_a.solve(mesh32, u32)
             cfl_b = ia.history[-1][3] if ia.history else 500.0
-            pt_b = PseudoTimeConfig(cfl_init=float(cfl_b), cfl_fin=5000.0,
-                                    tol=1e-16, tol_abs=TOL_ABS, maxiter=600)
-            solver_b = SteadyBackwardEuler(space, pt_b, lin, nl)
+            solver_b.cfg = dataclasses.replace(pt, cfl_init=float(cfl_b))
             u, ib = solver_b.solve(mesh, u32.astype(jnp.float64))
             return (u, ia.steps + ib.steps,
                     ia.total_lin_iters + ib.total_lin_iters)
@@ -195,6 +201,59 @@ def run_solve(platform=None, mixed=True, pc="bsgs", sweeps=6,
     return solve, mesh
 
 
+def bigmesh_probe(ni=640, nj=320, nsteps=10):
+    """Live >=200k-cell throughput probe (VERDICT r2 item 1).
+
+    The 13k-cell driver case is latency-bound; this measures the regime
+    where the chip's throughput actually shows: `nsteps` fixed implicit
+    steps (CFL 500, Krylov rtol 1e-2, mixed precision, bsgs x6) on the
+    204.8k-cell inviscid-cylinder O-mesh (the scripts/bench_bigmesh.py
+    case), with the same per-step host round trip as the real solve loop.
+    Full ADAPTIVE solves at this size and 819k cells live in
+    BENCH_BIGMESH.json; this probe is the bounded always-fresh
+    measurement."""
+    import jax
+    import jax.numpy as jnp
+
+    from fvens_tpu.config import (BCSpec, FlowCaseConfig, LinearSolverConfig,
+                                  NonlinearUpdateConfig, NumericsConfig,
+                                  PhysicsConfig, PseudoTimeConfig)
+    from fvens_tpu.cases.casesolvers import build_space, initial_state
+    from fvens_tpu.mesh import compile_mesh
+    from fvens_tpu.mesh.meshgen import cylinder_omesh
+    from fvens_tpu.solver.steady import SteadyBackwardEuler
+
+    md = cylinder_omesh(ni, nj)
+    pcfg = PhysicsConfig(Minf=0.38, Tinf=288.15, viscous=False)
+    ncfg = NumericsConfig(flux="HLLC", gradient="LEASTSQUARES",
+                          reconstruction="LINEAR", order2=True)
+    bcs = [BCSpec(marker=2, type="slipwall"),
+           BCSpec(marker=4, type="farfield")]
+    cfg = FlowCaseConfig(physics=pcfg, numerics=ncfg, bcs=bcs)
+    mesh = compile_mesh(md, bcs, dtype=jnp.float64)
+    space = build_space(cfg)
+    lin = LinearSolverConfig(restart=90, maxiter=90, rtol=1e-2,
+                             pc="bsgs", pc_sweeps=6, mixed_precision=True)
+    pt = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0,
+                          tol=1e-16, tol_abs=TOL_ABS, maxiter=600)
+    solver = SteadyBackwardEuler(space, pt, lin, NonlinearUpdateConfig("full"))
+    lmesh = mesh.astype(jnp.float32)
+    u = initial_state(space, mesh).astype(jnp.float64)
+    step = solver._jit("classic", lambda: jax.jit(solver._step))
+    out = step(mesh, u, 500.0, 1e-2, lmesh=lmesh)    # compile (not timed)
+    jax.device_get(out[1])
+    t0 = time.perf_counter()
+    iters = 0
+    for _ in range(nsteps):
+        u, resj, itersj = step(mesh, u, 500.0, 1e-2, lmesh=lmesh)
+        rv, iv = jax.device_get((resj, itersj))
+        iters += int(iv)
+    dt = (time.perf_counter() - t0) / nsteps
+    return {"cells": mesh.n_cells, "ms_per_step": dt * 1e3,
+            "cell_updates_per_sec": mesh.n_cells / dt,
+            "lin_iters_per_step": iters / nsteps, "probe_steps": nsteps}
+
+
 def main() -> int:
     import argparse
     import jax
@@ -204,6 +263,8 @@ def main() -> int:
                     help="precision scheduling: f32 phase down to this "
                          "ABSOLUTE residual, then f64 to the 1e-10 "
                          "absolute target (default gate 1e-3)")
+    ap.add_argument("--no-bigmesh", action="store_true",
+                    help="skip the 204.8k-cell throughput probe")
     args = ap.parse_args()
     base, stale = load_cpu_baseline()
     solve, mesh = run_solve(two_phase=args.two_phase)
@@ -238,6 +299,22 @@ def main() -> int:
         out["two_phase_gate"] = args.two_phase
     if stale:
         out["baseline_stale"] = True
+
+    if not args.no_bigmesh:
+        # >=200k-cell regime: live bounded probe + full-solve artifact
+        out["bigmesh_probe"] = bigmesh_probe()
+        bm = os.path.join(_ROOT, "BENCH_BIGMESH.json")
+        if os.path.exists(bm):
+            with open(bm) as f:
+                runs = json.load(f).get("runs", [])
+            out["bigmesh_solves"] = [
+                {k: r.get(k) for k in ("size", "cells", "platform",
+                                       "wall_s", "steps",
+                                       "cell_updates_per_sec",
+                                       "s_per_step", "rate_probe",
+                                       "measured_at")
+                 if k in r}
+                for r in runs]
     print(json.dumps(out))
     return 0
 

@@ -64,9 +64,13 @@ class SteadyFlowCase:
 
     def execute_starter(self, mesh, u, log_every: int = 0):
         """First-order startup; tolerance failures are swallowed
-        (casesolvers.cpp:294-299)."""
-        space1 = build_space(self.cfg, order2=False)
-        solver = self._make_solver(space1, self.cfg.init)
+        (casesolvers.cpp:294-299). The solver is cached on the case so a
+        re-solve reuses its jitted programs (steady.py:_jit)."""
+        solver = getattr(self, "_starter_solver", None)
+        if solver is None:
+            space1 = build_space(self.cfg, order2=False)
+            solver = self._starter_solver = self._make_solver(
+                space1, self.cfg.init)
         try:
             u, info = solver.solve(mesh, u, log_every=log_every)
         except ToleranceError:
@@ -74,8 +78,10 @@ class SteadyFlowCase:
         return u
 
     def execute_main(self, mesh, u, log_every: int = 0, logger=None):
-        space = build_space(self.cfg)
-        solver = self._make_solver(space, self.cfg.main, checkpoint=True)
+        solver = getattr(self, "_main_solver", None)
+        if solver is None:
+            solver = self._main_solver = self._make_solver(
+                build_space(self.cfg), self.cfg.main, checkpoint=True)
         return solver.solve(mesh, u, log_every=log_every, logger=logger)
 
     def solve(self, mesh, u=None, log_every: int = 0, logger=None):

@@ -1,5 +1,5 @@
 """Large-mesh benchmark (VERDICT r2 item 1): full adaptive implicit solves
-on generated NACA0012 O-meshes from 12.8k to 819.2k cells.
+on generated inviscid-cylinder O-meshes from ~50k to 819.2k cells.
 
 Round 2 capped at ~205k cells because every solver jitted
 `partial(step, mesh)`, baking O(mesh) constants into the XLA program (the
@@ -9,15 +9,18 @@ script demonstrates the >=200k-cell regime the reference handles routinely
 — and where the TPU's throughput advantage actually shows (the 13k-cell
 driver case is latency-bound).
 
-Per mesh: the bench.py solver configuration (Roe + WLS + linear
-reconstruction, implicit BE, mixed precision, bsgs x6, FGMRES(90)
-rtol 1e-2, CFL 500->5000) run to rel 1e-6 (the reference ctrl's stopping
-rule) or abs 1e-10, whichever first. Reports wall (compile excluded via a
-warmup solve, same rule as bench.py) and cell-updates/s. Writes/merges
-BENCH_BIGMESH.json at the repo root.
+Case: the reference's inviscid 2dcylinder family (M 0.38, HLLC + WLS +
+linear reconstruction) scaled up — chosen because it stays PHYSICALLY
+steady at every resolution (see the note in build_case for why the
+Re-5000 NACA case cannot be the large-mesh target). Reference-faithful
+pipeline: first-order starter solve, then the implicit second-order main
+solve (mixed precision, bsgs x6, FGMRES(90) rtol 1e-2, CFL 500->5000) to
+rel 1e-6 or abs 1e-10, whichever first. Reports wall (compile excluded
+via a warmup solve, same rule as bench.py) and cell-updates/s.
+Writes/merges BENCH_BIGMESH.json at the repo root.
 
 Usage:
-  python scripts/bench_bigmesh.py --sizes 160x80 640x320 1280x640
+  python scripts/bench_bigmesh.py --sizes 640x320 1280x640
   python scripts/bench_bigmesh.py --sizes 640x320 --cpu-rate-probe
 """
 
@@ -32,6 +35,12 @@ sys.path.insert(0, _ROOT)
 
 
 def build_case(ni, nj, platform=None):
+    """Reference-faithful case pipeline: first-order STARTER solve (loose
+    tol, gentle CFL — casesolvers.cpp:225-314) then the second-order main
+    solve. A cold CFL-500 second-order start from freestream blows up on
+    the fine O-meshes (measured: 204.8k cells limit-cycles at CFL ~2 after
+    the trust region fires); the starter is how the reference's own cases
+    get past the transient."""
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -45,28 +54,43 @@ def build_case(ni, nj, platform=None):
     from fvens_tpu.config import (BCSpec, FlowCaseConfig, LinearSolverConfig,
                                   NonlinearUpdateConfig, NumericsConfig,
                                   PhysicsConfig, PseudoTimeConfig)
-    from fvens_tpu.cases.casesolvers import build_space, initial_state
+    from fvens_tpu.cases.casesolvers import SteadyFlowCase, build_space, \
+        initial_state
     from fvens_tpu.mesh import compile_mesh
-    from fvens_tpu.mesh.meshgen import naca0012_omesh
-    from fvens_tpu.solver.steady import SteadyBackwardEuler
+    from fvens_tpu.mesh.meshgen import cylinder_omesh
 
-    md = naca0012_omesh(ni, nj)
-    pcfg = PhysicsConfig(Minf=0.5, Reinf=5000.0, Tinf=288.15, viscous=True)
-    ncfg = NumericsConfig(flux="ROE", gradient="LEASTSQUARES",
+    # INVISCID 2D CYLINDER at M 0.38 (the reference's own 2dcylinder
+    # grid-convergence family, scaled up): the viscous Re-5000 NACA case
+    # turns physically unsteady once the O-mesh resolves the wake
+    # (measured at 204.8k cells: the starter limit-cycles at rel res
+    # ~0.3-0.7 and the main solve NaNs), and the inviscid NACA O-mesh
+    # blows up repeatedly at CFL >~500 off the sharp trailing edge — the
+    # smooth subcritical cylinder is steady and stiffness-friendly at
+    # every resolution while exercising the same residual/Jacobian/solver
+    # pipeline.
+    # keep the FAMILY's radial clustering profile at every resolution
+    # (cylinder_family: stretch 1.15 at nr=20, root-scaled with refinement);
+    # a fixed 1.15 at nr=320 overflows the geometric distribution into
+    # zero-length first-layer faces (NaN on the first step)
+    md = cylinder_omesh(ni, nj, stretch=1.15 ** (20.0 / nj))
+    pcfg = PhysicsConfig(Minf=0.38, Tinf=288.15, viscous=False)
+    ncfg = NumericsConfig(flux="HLLC", gradient="LEASTSQUARES",
                           reconstruction="LINEAR", order2=True)
-    bcs = [BCSpec(marker=2, type="adiabaticwall", values=(0.0,)),
-           BCSpec(marker=4, type="inflowoutflow")]
-    cfg = FlowCaseConfig(physics=pcfg, numerics=ncfg, bcs=bcs)
-    mesh = compile_mesh(md, bcs, dtype=jnp.float64)
-    space = build_space(cfg)
+    bcs = [BCSpec(marker=2, type="slipwall"),
+           BCSpec(marker=4, type="farfield")]
     lin = LinearSolverConfig(restart=90, maxiter=90, rtol=1e-2,
                              pc="bsgs", pc_sweeps=6, mixed_precision=True)
-    pt = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0,
-                          tol=1e-6, tol_abs=1e-10, maxiter=600)
-    solver = SteadyBackwardEuler(space, pt, lin,
-                                 NonlinearUpdateConfig("full"))
-    u0 = initial_state(space, mesh).astype(jnp.float64)
-    return solver, mesh, u0
+    main = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0,
+                            tol=1e-6, tol_abs=1e-10, maxiter=600)
+    init = PseudoTimeConfig(cfl_init=50.0, cfl_fin=1000.0,
+                            tol=1e-1, maxiter=200)
+    cfg = FlowCaseConfig(physics=pcfg, numerics=ncfg, bcs=bcs,
+                         main=main, init=init, linear=lin,
+                         nl_update=NonlinearUpdateConfig("full"))
+    mesh = compile_mesh(md, bcs, dtype=jnp.float64)
+    case = SteadyFlowCase(cfg)
+    u0 = initial_state(build_space(cfg), mesh).astype(jnp.float64)
+    return case, mesh, u0
 
 
 def main() -> int:
@@ -79,6 +103,8 @@ def main() -> int:
     ap.add_argument("--cpu-rate-probe", action="store_true",
                     help="also time 3 implicit steps on the host CPU for a "
                          "rate (NOT a full solve; hours at these sizes)")
+    ap.add_argument("--probe-only", action="store_true",
+                    help="skip the full solves (use with --cpu-rate-probe)")
     ap.add_argument("--log-every", type=int, default=20)
     ap.add_argument("--out", default=os.path.join(_ROOT,
                                                   "BENCH_BIGMESH.json"))
@@ -90,21 +116,23 @@ def main() -> int:
             results = json.load(f).get("runs", [])
 
     import jax
-    for size in args.sizes:
+    for size in args.sizes if not args.probe_only else []:
         ni, nj = (int(x) for x in size.split("x"))
-        solver, mesh, u0 = build_case(ni, nj, platform=args.platform)
+        case, mesh, u0 = build_case(ni, nj, platform=args.platform)
         platform = jax.devices()[0].platform
         print(f"--- {size}: {mesh.n_cells} cells on {platform}")
 
         t0 = time.perf_counter()
-        u, info = solver.solve(mesh, u0, log_every=args.log_every)
+        u, info = case.solve(mesh, u0, log_every=args.log_every)
         jax.block_until_ready(u)
         wall_cold = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        u, info = solver.solve(mesh, u0, log_every=args.log_every)
+        u, info = case.solve(mesh, u0, log_every=args.log_every)
         jax.block_until_ready(u)
         wall = time.perf_counter() - t0
+        # wall includes the first-order starter solve; steps/lin_iters are
+        # the MAIN solve's (SolveInfo comes from execute_main)
 
         rec = {
             "size": size, "cells": mesh.n_cells, "platform": platform,
@@ -128,8 +156,10 @@ def main() -> int:
         import jax
         for size in args.sizes:
             ni, nj = (int(x) for x in size.split("x"))
-            solver, mesh, u0 = build_case(ni, nj, platform="cpu")
+            case, mesh, u0 = build_case(ni, nj, platform="cpu")
             import jax.numpy as jnp
+            from fvens_tpu.cases.casesolvers import build_space
+            solver = case._make_solver(build_space(case.cfg), case.cfg.main)
             step = jax.jit(solver._step)
             lmesh = mesh.astype(jnp.float32)
             u, r, it = step(mesh, u0, 500.0, 1e-2, lmesh=lmesh)  # compile
