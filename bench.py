@@ -109,7 +109,7 @@ def load_cpu_baseline():
 
 
 def run_solve(platform=None, mixed=True, pc="bsgs", sweeps=6,
-              two_phase=0.0):
+              two_phase=0.0, pipeline=False):
     """Build the visc-naca0012 case and return a closure running the solve.
 
     two_phase > 0 enables PRECISION SCHEDULING: phase A runs the whole
@@ -164,7 +164,8 @@ def run_solve(platform=None, mixed=True, pc="bsgs", sweeps=6,
     lin = LinearSolverConfig(restart=90, maxiter=90, rtol=1e-2,
                              pc=pc, pc_sweeps=sweeps, mixed_precision=mixed)
     pt = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0,
-                          tol=1e-16, tol_abs=TOL_ABS, maxiter=600)
+                          tol=1e-16, tol_abs=TOL_ABS, maxiter=600,
+                          pipeline=pipeline)
     solver = SteadyBackwardEuler(space, pt, lin, nl)
 
     if two_phase:
@@ -173,7 +174,7 @@ def run_solve(platform=None, mixed=True, pc="bsgs", sweeps=6,
         mesh32 = mesh.astype(jnp.float32)
         pt_a = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0,
                                 tol=1e-16, tol_abs=float(two_phase),
-                                maxiter=600)
+                                maxiter=600, pipeline=pipeline)
         solver_a = SteadyBackwardEuler(space, pt_a, lin, nl)
         # ONE phase-B solver reused across calls: its jitted step program
         # does not depend on PseudoTimeConfig (host-controller-only), so
@@ -265,9 +266,14 @@ def main() -> int:
                          "absolute target (default gate 1e-3)")
     ap.add_argument("--no-bigmesh", action="store_true",
                     help="skip the 204.8k-cell throughput probe")
+    ap.add_argument("--no-pipeline", action="store_true",
+                    help="disable pipelined host stepping (fetch lags "
+                         "dispatch by one step; hides the ~24 ms/step "
+                         "tunnel round trip)")
     args = ap.parse_args()
     base, stale = load_cpu_baseline()
-    solve, mesh = run_solve(two_phase=args.two_phase)
+    solve, mesh = run_solve(two_phase=args.two_phase,
+                            pipeline=not args.no_pipeline)
 
     solve()                      # warmup: compile (not measured)
 
@@ -297,6 +303,7 @@ def main() -> int:
         out["vs_fvens_bound"] = (base["t_bound_s"] / TARGET_FACTOR) / wall
     if args.two_phase:
         out["two_phase_gate"] = args.two_phase
+    out["pipeline"] = not args.no_pipeline
     if stale:
         out["baseline_stale"] = True
 

@@ -136,6 +136,24 @@ class PseudoTimeConfig:
     #                                    round 3). Use for production solves
     #                                    on meshes that fit; classic path
     #                                    (no warm start/deflation) only.
+    pipeline: bool = False             # software-pipelined host stepping:
+    #                                    dispatch step k+1 BEFORE fetching
+    #                                    step k's residual, with the CFL/
+    #                                    forcing controller evaluated as a
+    #                                    tiny separate device program
+    #                                    (controller_advance), so the
+    #                                    per-step host round trip (~24 ms
+    #                                    over the axon TPU tunnel) overlaps
+    #                                    the next step's device compute.
+    #                                    Unlike device_steps, the step
+    #                                    program itself is byte-identical to
+    #                                    the single-step path (no scan/cond
+    #                                    fusion loss). Anomaly checks run on
+    #                                    the fetched scalars one step behind;
+    #                                    speculative steps are discarded on
+    #                                    anomaly/convergence. Classic path
+    #                                    (exp ramp, no warm start/deflation/
+    #                                    bake_mesh) only.
     blowup_relres: float = 1e5         # residual growth beyond this factor
     #                                    over the initial residual counts as
     #                                    numerical blowup: the implicit solver

@@ -482,6 +482,113 @@ class SteadyBackwardEuler:
         carry, outs = jax.lax.scan(body, carry, None, length=K)
         return carry, outs
 
+    def _pipeline_burst(self, K, mesh, u, du, u_best, res_best, stall,
+                        cfl, cfl_cap, rtol, rtol_floor, raise_relres,
+                        res, resold, initres, lmesh=None, mg=None, ilu=None):
+        """Software-pipelined host stepping (PseudoTimeConfig.pipeline).
+
+        Runs the SAME classic step program and the SAME controller
+        arithmetic (controller_advance, as a tiny separate jitted program
+        on device f64 scalars) as the single-step host loop, but dispatches
+        step k+1 BEFORE fetching step k's residual: the per-step host round
+        trip (~24 ms over the axon TPU tunnel) and the Python loop overhead
+        then overlap the next step's device compute instead of serializing
+        with it. Unlike the _chunk path there is no lax.scan/cond wrapping,
+        so the step program keeps its exact single-step XLA fusion (and
+        floating-point trajectory).
+
+        Anomaly/convergence checks run on the fetched scalars one step
+        behind the dispatch frontier; on anomaly or convergence the
+        speculative in-flight step is discarded (it was never committed to
+        the host view of the trajectory — the device work is wasted, the
+        numbers are not). Returns (carry, outs) in exactly the _chunk
+        layout so solve() shares one exit/recovery path for both."""
+        cfg, lin = self.cfg, self.lin
+        step_fn = self._jit("classic", lambda: jax.jit(self._step))
+        # the controller program closes over cfg/lin constants, and self.cfg
+        # may be swapped between solves (e.g. the two-phase bench replaces
+        # cfl_init per phase): key the cache on every constant it bakes
+        ctrl_fn = self._jit(
+            ("ctrl", cfg.cfl_init, cfg.cfl_fin, lin.rtol_adapt,
+             lin.rtol, lin.rtol_max),
+            lambda: jax.jit(
+                lambda c, cap, rt, fl, rr, r, ro, ir: controller_advance(
+                    cfg, lin, jnp, c, cap, rt, fl, rr, r, ro, ir)))
+        sd = u.dtype
+        f = lambda x: jnp.asarray(x, sd)
+        ctrl = (f(cfl), f(cfl_cap), f(rtol), f(rtol_floor), f(raise_relres))
+        res_d, resold_d, init_d = f(res), f(resold), f(initres)
+        initres_h = float(initres)
+        u_cur = u
+        inflight = []            # (u_prev, u_next, resj, itersj, ctrl)
+        hist_res, hist_cfl = [], []
+        n_done = 0
+        iters_total = 0
+        flag = 0
+        stall = int(stall)
+        res_h, resold_h = float(res), float(resold)
+        best_ref, best_val = u_best, float(res_best)
+        dispatched = 0
+        final_u = u
+        last_ctrl = ctrl         # controller scalars of the last COMMITTED
+        #                          (or anomalous) step, returned to the host
+        while flag == 0 and (inflight or dispatched < K):
+            while dispatched < K and len(inflight) < 2:
+                ctrl = ctrl_fn(*ctrl, res_d, resold_d, init_d)
+                u_next, resj, itersj = step_fn(mesh, u_cur, ctrl[0],
+                                               ctrl[2], 1.0, lmesh=lmesh,
+                                               mg=mg, ilu=ilu)
+                inflight.append((u_cur, u_next, resj, itersj, ctrl))
+                resold_d, res_d = res_d, resj
+                u_cur = u_next
+                dispatched += 1
+            u_prev_k, u_next_k, resj, itersj, ctrl_k = inflight.pop(0)
+            rv, iv = jax.device_get((resj, itersj))
+            rv = float(rv)
+            iters_total += int(iv)
+            last_ctrl = ctrl_k
+            finite = np.isfinite(rv)
+            blown = finite and rv > cfg.blowup_relres * initres_h
+            if not finite or blown:
+                flag = 2
+                break
+            if rv < best_val:
+                # the residual was evaluated at u_prev_k (pre-update state)
+                best_ref, best_val = u_prev_k, rv
+            frozen = (abs(rv / res_h - 1.0) < 1e-12
+                      and rv / initres_h > cfg.tol)
+            stall = stall + 1 if frozen else 0
+            resold_h, res_h = res_h, rv
+            n_done += 1
+            hist_res.append(rv)
+            hist_cfl.append(ctrl_k[0])     # device scalar; fetched in one
+            #                                tuple get at burst exit
+            final_u = u_next_k
+            if (rv / initres_h <= cfg.tol
+                    or (cfg.tol_abs and rv <= cfg.tol_abs)):
+                flag = 1
+                break
+            if stall >= 4:
+                flag = 3
+                break
+        # one blocking fetch for the exit controller state + per-step CFLs
+        # (already realized on device; a single tuple get is one round trip)
+        ctrl_host, hist_cfl = jax.device_get((last_ctrl, tuple(hist_cfl)))
+        ctrl_host = [float(x) for x in ctrl_host]
+        # on anomaly (flag 2) mirror the single-step loop's accounting:
+        # res = the bad value, resold = the last committed residual (the
+        # recovery path may resume from `resold`)
+        carry = (final_u, du, best_ref, best_val, stall,
+                 ctrl_host[0], ctrl_host[1], ctrl_host[2], ctrl_host[3],
+                 ctrl_host[4],
+                 res_h if flag != 2 else rv,
+                 resold_h if flag != 2 else res_h,
+                 flag, iters_total, n_done)
+        outs = (np.asarray(hist_res, dtype=np.float64),
+                np.asarray(hist_cfl, dtype=np.float64),
+                np.zeros(len(hist_res), dtype=np.int32))
+        return carry, outs
+
     def solve(self, mesh, u0, log_every: int = 0, logger=None) -> tuple:
         self._lines(mesh)        # prewarm eagerly: see _lines docstring
         mg = self._mg(mesh)      # AMG hierarchy (host build, jit argument)
@@ -571,18 +678,40 @@ class SteadyBackwardEuler:
         K = max(1, int(self.cfg.device_steps))
         # the chunked device-side controller implements the exp ramp only;
         # the (step-indexed) linear ramp runs through the host loop
-        chunk_fn = (self._jit(("chunk", K),
+        # keyed on the cfg/lin constants the traced chunk bakes in, since
+        # self.cfg may be swapped between solves (two-phase scheduling)
+        chunk_fn = (self._jit(("chunk", K, self.cfg.cfl_init,
+                               self.cfg.cfl_fin, self.cfg.tol,
+                               self.cfg.tol_abs, self.cfg.blowup_relres,
+                               self.lin.rtol_adapt, self.lin.rtol,
+                               self.lin.rtol_max),
                               lambda: jax.jit(partial(self._chunk, K)))
                     if K > 1 and self.cfg.cfl_ramp == "exp" and not defl
                     else None)
+        # pipelined host stepping (cfg.pipeline): same step program, same
+        # controller arithmetic, but the per-step fetch lags the dispatch
+        # frontier by one step — classic/exp-ramp path only
+        pipe_on = (self.cfg.pipeline and chunk_fn is None
+                   and not warm and not defl
+                   and self.cfg.cfl_ramp == "exp"
+                   and not self.cfg.bake_mesh)
         U_defl = None           # recycled Krylov space (lin.deflation_k)
         single_left = 1         # the first step runs singly (sets initres);
         #                         recoveries also force a few single steps
         du_c = jnp.zeros_like(u)   # chunk-carried Newton direction
         while step < self.cfg.maxiter:
-            if chunk_fn is not None and single_left <= 0 and step > 0:
+            if ((chunk_fn is not None or pipe_on)
+                    and single_left <= 0 and step > 0):
                 u_entry = u     # chunk-granular rollback fallback
-                carry, outs = chunk_fn(
+                if chunk_fn is not None:
+                    runner = chunk_fn
+                else:
+                    kb = min(self.checkpoint_every
+                             if (self.checkpoint_path
+                                 and self.checkpoint_every) else 50,
+                             self.cfg.maxiter - step)
+                    runner = partial(self._pipeline_burst, max(1, kb))
+                carry, outs = runner(
                     mesh, u, du_c, u_best, res_best, stall_count,
                     cfl, cfl_cap, rtol, rtol_floor, raise_relres,
                     res, resold, initres, lmesh=lmesh, mg=mg, ilu=ilu)

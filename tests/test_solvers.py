@@ -219,6 +219,42 @@ def test_chunked_device_stepping_matches_single_step():
     assert len(i8.history) == i8.steps
 
 
+def test_pipelined_stepping_matches_single_step():
+    """cfg.pipeline dispatches step k+1 before fetching step k's scalars,
+    with the controller as a tiny device program. The step program is
+    byte-identical to the single-step path and the controller arithmetic
+    is the same function (controller_advance), so the trajectory must
+    match step-for-step; only ulp-level drift from the device pow in the
+    CFL ramp is tolerated."""
+    from fvens_tpu.solver.steady import SteadyBackwardEuler
+
+    md = cylinder_omesh(32, 12)
+    cm = compile_mesh(md, BCS, dtype=jnp.float64)
+    space = make_space(order2=True)
+    u0 = jnp.tile(space.uinf, (cm.NC, 1)).astype(jnp.float64)
+
+    def solve(pipe):
+        lin = LinearSolverConfig(restart=40, maxiter=40, rtol=1e-2,
+                                 pc="bsgs", pc_sweeps=4)
+        pt = PseudoTimeConfig(cfl_init=50.0, cfl_fin=2000.0, tol=1e-8,
+                              maxiter=200, pipeline=pipe)
+        be = SteadyBackwardEuler(space, pt, lin,
+                                 NonlinearUpdateConfig("full"))
+        return be.solve(cm, u0)
+
+    u1, i1 = solve(False)
+    u2, i2 = solve(True)
+    assert i1.converged and i2.converged
+    assert i1.steps == i2.steps
+    assert i1.total_lin_iters == i2.total_lin_iters
+    assert float(jnp.abs(u1 - u2).max()) < 1e-10
+    # history is recorded per committed step with the step's actual CFL
+    assert len(i2.history) == i2.steps
+    c1 = np.array([h[3] for h in i1.history])
+    c2 = np.array([h[3] for h in i2.history])
+    np.testing.assert_allclose(c1, c2, rtol=1e-6)
+
+
 def _bench_like_jacobian(nbig=24, nsm=10):
     """A real implicit-step Jacobian on a small cylinder mesh."""
     from fvens_tpu.solver import jacobian as jacmod
