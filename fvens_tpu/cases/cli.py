@@ -43,6 +43,11 @@ def main(argv=None) -> int:
     ap.add_argument("--devices", type=int, default=0,
                     help="run domain-decomposed over N devices (the "
                          "reference's mpirun -n N; 0 = single device)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="software-pipelined host stepping: dispatch step "
+                         "k+1 before fetching step k's residual (hides the "
+                         "per-step host round trip on remote/tunnelled "
+                         "accelerators; trajectory-identical)")
     ap.add_argument("--log_every", type=int, default=10)
     args = ap.parse_args(argv)
 
@@ -74,6 +79,10 @@ def main(argv=None) -> int:
               + (f", reorder={reorder}" if reorder else ""))
     if args.checkpoint:
         cfg = _dc.replace(cfg, checkpoint_path=args.checkpoint)
+    if args.pipeline:
+        cfg = _dc.replace(cfg,
+                          main=_dc.replace(cfg.main, pipeline=True),
+                          init=_dc.replace(cfg.init, pipeline=True))
     dtype = jnp.float32 if args.f32 else jnp.float64
 
     import os
