@@ -211,6 +211,17 @@ class LinearSolverConfig:
     #                                    endgame — where the iterations
     #                                    actually pile up — has a nearly
     #                                    constant Jacobian
+    banded: bool = False               # banded (shifted-slice) neighbour
+    #                                    encoding for the matvec and the
+    #                                    bjacobi/bsgs sweeps
+    #                                    (solver/banded.py): on structured
+    #                                    O-meshes the per-iteration slot
+    #                                    gather becomes K contiguous rolls.
+    #                                    Opt-in — neighbour summation order
+    #                                    changes, so trajectories agree only
+    #                                    to rounding; silently falls back to
+    #                                    the gather path on meshes that are
+    #                                    not band-coverable
     matrix_free: bool = False
     matrix_free_fd: bool = False       # matrix-free matvec via the
     #                                    reference's eps/||x|| finite

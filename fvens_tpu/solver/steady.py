@@ -249,6 +249,20 @@ class SteadyBackwardEuler:
                     coarse_sweeps=self.lin.mg_coarse_sweeps,
                     cycles=self.lin.mg_cycles)
 
+    def _banded(self, mesh):
+        """Host-side band analysis, cached per mesh (lin.banded only).
+        An int pytree passed to _step as a jit ARGUMENT (offsets are static
+        metadata). None when the mesh is not band-coverable — the step then
+        keeps the gather path (solver/banded.py)."""
+        if not self.lin.banded:
+            return None
+        cache = getattr(self, "_banded_cache", None)
+        key = id(mesh)
+        if cache is None or cache[0] != key:
+            from .banded import banded_structure
+            self._banded_cache = (key, banded_structure(mesh))
+        return self._banded_cache[1]
+
     def _ilu(self, mesh):
         """Host-side ILU0 sparsity analysis, cached per mesh (pc='ilu0'
         only). A static-int pytree passed to _step as a jit ARGUMENT, so
@@ -281,7 +295,7 @@ class SteadyBackwardEuler:
 
     def _step(self, mesh, u, cfl, rtol, omega_cap=1.0, du0=None,
               return_du=False, lmesh=None, mg=None, U0=None,
-              return_defl=False, ilu=None):
+              return_defl=False, ilu=None, bl=None):
         """One implicit pseudo-time step.
 
         `du0` (optional): previous Newton direction as the Krylov initial
@@ -315,10 +329,27 @@ class SteadyBackwardEuler:
         jac = self.space.assemble_jacobian(lmesh, lu)
         jac = jacmod.add_pseudotime_term(lmesh, jac, lcfl, ldt)
 
-        pc = make_preconditioner(lmesh, jac, self.lin.pc, self.lin.pc_sweeps,
-                                 lines=self._lines(mesh), mg=mg,
-                                 mg_opts=self._mg_opts(), ilu=ilu,
-                                 ilu_setup=self.lin.ilu_setup_sweeps)
+        banded_on = (bl is not None and not self.lin.matrix_free
+                     and self.lin.pc in ("bjacobi", "bsgs"))
+        if banded_on:
+            # banded (shifted-slice) operators: the per-iteration slot
+            # gathers become K contiguous rolls (solver/banded.py); block
+            # reordering is paid once per Newton step
+            from .banded import banded_blocks, make_banded_bsgs
+            from .linear import block_jacobi_inverse
+            Dinv_b = block_jacobi_inverse(jac.D)
+            if self.lin.pc == "bjacobi":
+                pc = lambda v: jnp.einsum("cij,cj->ci", Dinv_b, v)
+            else:
+                DN = jnp.einsum("cij,ckjl->ckil", Dinv_b, jac.N)
+                pc = make_banded_bsgs(Dinv_b, banded_blocks(bl, DN),
+                                      bl.offsets, self.lin.pc_sweeps)
+        else:
+            pc = make_preconditioner(lmesh, jac, self.lin.pc,
+                                     self.lin.pc_sweeps,
+                                     lines=self._lines(mesh), mg=mg,
+                                     mg_opts=self._mg_opts(), ilu=ilu,
+                                     ilu_setup=self.lin.ilu_setup_sweeps)
         if self.lin.matrix_free:
             diag = (mesh.area / (cfl * dt) * mesh.cell_mask)[:, None]
 
@@ -343,6 +374,10 @@ class SteadyBackwardEuler:
                             mesh, v, False)[0],
                         (u,), (x,))
                     return diag * x - tang
+        elif banded_on:
+            from .banded import make_banded_matvec
+            matvec = make_banded_matvec(jac.D, banded_blocks(bl, jac.N),
+                                        bl.offsets)
         else:
             matvec = make_bsr_matvec(lmesh, jac)   # fused operand built once
 
@@ -408,7 +443,7 @@ class SteadyBackwardEuler:
 
     def _chunk(self, K, mesh, u, du, u_best, res_best, stall,
                cfl, cfl_cap, rtol, rtol_floor, raise_relres, res, resold,
-               initres, lmesh=None, mg=None, ilu=None):
+               initres, lmesh=None, mg=None, ilu=None, bl=None):
         """Run up to K pseudo-time steps fully on device (lax.scan): the CFL
         exp-residual ramp and the Krylov forcing controller are the same
         arithmetic as the host loop in solve(). Exits early (flag != 0) on
@@ -439,12 +474,12 @@ class SteadyBackwardEuler:
                                                       1.0, du,
                                                       return_du=True,
                                                       lmesh=lmesh, mg=mg,
-                                                      ilu=ilu)
+                                                      ilu=ilu, bl=bl)
             else:
                 u_new, resj, itj, du_new = self._step(mesh, u, cfl, rtol,
                                                       1.0, return_du=True,
                                                       lmesh=lmesh, mg=mg,
-                                                      ilu=ilu)
+                                                      ilu=ilu, bl=bl)
             finite = jnp.isfinite(resj)
             blown = finite & (resj > cfg.blowup_relres * initres)
             healthy = finite & ~blown
@@ -484,7 +519,8 @@ class SteadyBackwardEuler:
 
     def _pipeline_burst(self, K, mesh, u, du, u_best, res_best, stall,
                         cfl, cfl_cap, rtol, rtol_floor, raise_relres,
-                        res, resold, initres, lmesh=None, mg=None, ilu=None):
+                        res, resold, initres, lmesh=None, mg=None,
+                        ilu=None, bl=None):
         """Software-pipelined host stepping (PseudoTimeConfig.pipeline).
 
         Runs the SAME classic step program and the SAME controller
@@ -537,7 +573,7 @@ class SteadyBackwardEuler:
                 ctrl = ctrl_fn(*ctrl, res_d, resold_d, init_d)
                 u_next, resj, itersj = step_fn(mesh, u_cur, ctrl[0],
                                                ctrl[2], 1.0, lmesh=lmesh,
-                                               mg=mg, ilu=ilu)
+                                               mg=mg, ilu=ilu, bl=bl)
                 inflight.append((u_cur, u_next, resj, itersj, ctrl))
                 resold_d, res_d = res_d, resj
                 u_cur = u_next
@@ -593,6 +629,8 @@ class SteadyBackwardEuler:
         self._lines(mesh)        # prewarm eagerly: see _lines docstring
         mg = self._mg(mesh)      # AMG hierarchy (host build, jit argument)
         ilu = self._ilu(mesh)    # ILU0 sparsity analysis (host, jit arg)
+        bl = self._banded(mesh)  # band analysis (host, jit arg; None =
+        #                          gather path — lin.banded only)
         warm = self.lin.warm_start
         # with warm start OFF (default) the traced step program is exactly
         # the classic 3-output step: converged regression trajectories are
@@ -625,7 +663,7 @@ class SteadyBackwardEuler:
             _core = self._jit(("baked", id(mesh)), lambda: jax.jit(
                 lambda u, cfl, rtol, omega_cap: self._step(
                     mesh, u, cfl, rtol, omega_cap,
-                    lmesh=lmesh, mg=mg, ilu=ilu)))
+                    lmesh=lmesh, mg=mg, ilu=ilu, bl=bl)))
             step_fn = (lambda _m, u, cfl, rtol, omega_cap=1.0, **_kw:
                        _core(u, cfl, rtol, omega_cap))
         u = u0
@@ -714,7 +752,8 @@ class SteadyBackwardEuler:
                 carry, outs = runner(
                     mesh, u, du_c, u_best, res_best, stall_count,
                     cfl, cfl_cap, rtol, rtol_floor, raise_relres,
-                    res, resold, initres, lmesh=lmesh, mg=mg, ilu=ilu)
+                    res, resold, initres, lmesh=lmesh, mg=mg, ilu=ilu,
+                    bl=bl)
                 (u, du_c, u_best, res_bestj, stallj, cflj,
                  cfl_capj, rtolj, rtol_floorj, raise_relresj, resj,
                  resoldj, flagj, itersj, nstepsj) = carry
@@ -811,19 +850,21 @@ class SteadyBackwardEuler:
             if defl_on and warm:
                 u, resj, itersj, du_prev, U_defl = defl_fn(
                     mesh, u, cfl, rtol, omega_cap, du_prev,
-                    lmesh=lmesh, mg=mg, U0=U_defl, ilu=ilu)
+                    lmesh=lmesh, mg=mg, U0=U_defl, ilu=ilu, bl=bl)
             elif defl_on:
                 u, resj, itersj, U_defl = defl_fn(mesh, u, cfl, rtol,
                                                   omega_cap, lmesh=lmesh,
-                                                  mg=mg, U0=U_defl, ilu=ilu)
+                                                  mg=mg, U0=U_defl, ilu=ilu,
+                                                  bl=bl)
             elif warm:
                 u, resj, itersj, du_prev = step_fn(mesh, u, cfl, rtol,
                                                    omega_cap, du_prev,
                                                    lmesh=lmesh, mg=mg,
-                                                   ilu=ilu)
+                                                   ilu=ilu, bl=bl)
             else:
                 u, resj, itersj = step_fn(mesh, u, cfl, rtol, omega_cap,
-                                          lmesh=lmesh, mg=mg, ilu=ilu)
+                                          lmesh=lmesh, mg=mg, ilu=ilu,
+                                          bl=bl)
             resold = res
             tf = time.perf_counter()
             info.t_dispatch += tf - td

@@ -34,7 +34,7 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
 
-def build_case(ni, nj, platform=None):
+def build_case(ni, nj, platform=None, banded=False):
     """Reference-faithful case pipeline: first-order STARTER solve (loose
     tol, gentle CFL — casesolvers.cpp:225-314) then the second-order main
     solve. A cold CFL-500 second-order start from freestream blows up on
@@ -79,7 +79,8 @@ def build_case(ni, nj, platform=None):
     bcs = [BCSpec(marker=2, type="slipwall"),
            BCSpec(marker=4, type="farfield")]
     lin = LinearSolverConfig(restart=90, maxiter=90, rtol=1e-2,
-                             pc="bsgs", pc_sweeps=6, mixed_precision=True)
+                             pc="bsgs", pc_sweeps=6, mixed_precision=True,
+                             banded=banded)
     main = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0,
                             tol=1e-6, tol_abs=1e-10, maxiter=600)
     init = PseudoTimeConfig(cfl_init=50.0, cfl_fin=1000.0,
@@ -105,6 +106,12 @@ def main() -> int:
                          "rate (NOT a full solve; hours at these sizes)")
     ap.add_argument("--probe-only", action="store_true",
                     help="skip the full solves (use with --cpu-rate-probe)")
+    ap.add_argument("--banded", action="store_true",
+                    help="banded (shifted-slice) neighbour encoding for the "
+                         "matvec/smoother (LinearSolverConfig.banded): the "
+                         "generated O-meshes are 100%% band-coverable, so "
+                         "the per-Krylov-iteration gather becomes contiguous "
+                         "rolls (solver/banded.py)")
     ap.add_argument("--log-every", type=int, default=20)
     ap.add_argument("--out", default=os.path.join(_ROOT,
                                                   "BENCH_BIGMESH.json"))
@@ -118,7 +125,8 @@ def main() -> int:
     import jax
     for size in args.sizes if not args.probe_only else []:
         ni, nj = (int(x) for x in size.split("x"))
-        case, mesh, u0 = build_case(ni, nj, platform=args.platform)
+        case, mesh, u0 = build_case(ni, nj, platform=args.platform,
+                                    banded=args.banded)
         platform = jax.devices()[0].platform
         print(f"--- {size}: {mesh.n_cells} cells on {platform}")
 
@@ -136,6 +144,7 @@ def main() -> int:
 
         rec = {
             "size": size, "cells": mesh.n_cells, "platform": platform,
+            "banded": bool(args.banded),
             "wall_s": wall, "wall_incl_compile_s": wall_cold,
             "steps": info.steps, "lin_iters": info.total_lin_iters,
             "relres": info.finalres / info.initres,
@@ -145,7 +154,8 @@ def main() -> int:
         }
         print(json.dumps(rec))
         results = [r for r in results
-                   if not (r["size"] == size and r["platform"] == platform)]
+                   if not (r["size"] == size and r["platform"] == platform
+                           and bool(r.get("banded")) == bool(args.banded))]
         results.append(rec)
         with open(args.out, "w") as f:
             json.dump({"runs": results}, f, indent=1)
