@@ -306,6 +306,10 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
                 "device-side chunked stepping (device_steps>1) is "
                 "single-chip only; the distributed step is already one "
                 "device program per pseudo-time step")
+        if self.lin.banded:
+            raise NotImplementedError(
+                "banded neighbour encoding is single-chip only (the band "
+                "analysis would need to run per shard-local mesh)")
 
     # pc-specific host caches don't apply to the supported distributed pcs
     def _lines(self, mesh):
@@ -336,7 +340,7 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
 
     def _step(self, dmesh, u, cfl, rtol, omega_cap=1.0, du0=None,
               return_du=False, lmesh=None, mg=None, U0=None,
-              return_defl=False, ilu=None):
+              return_defl=False, ilu=None, bl=None):
         """Distributed analogue of SteadyBackwardEuler._step with the SAME
         contract: (mesh-arg, u, cfl, rtol, omega_cap) -> (u', global res,
         iters) [+ du], so the inherited host loop drives it unchanged.
