@@ -40,6 +40,11 @@ def main(argv=None) -> int:
     ap.add_argument("--mesh_reorder", default="none",
                     choices=["none", "rcm", "line", "line_rcm"],
                     help="cell reordering (reference -mesh_reorder)")
+    ap.add_argument("--mesh_anisotropy_threshold", type=float, default=None,
+                    help="minimum local grid anisotropy for a cell to join "
+                         "a line under line orderings (reference "
+                         "-mesh_anisotropy_threshold, doc/user-doc.md:22; "
+                         "default 10.0)")
     ap.add_argument("--devices", type=int, default=0,
                     help="run domain-decomposed over N devices (the "
                          "reference's mpirun -n N; 0 = single device)")
@@ -67,12 +72,14 @@ def main(argv=None) -> int:
     cfg = parse_control_file(args.control_file, mesh_file=args.mesh_file)
     if args.options_file:
         from ..io_config.solverc import load_solver_options
-        lin, reorder = load_solver_options(
+        lin, reorder, aniso = load_solver_options(
             args.options_file, base=cfg.linear,
             warn=lambda m: print(f"fvens_tpu: {m}"))
         cfg = _dc.replace(cfg, linear=lin)
         if args.mesh_reorder == "none" and reorder:
             args.mesh_reorder = reorder
+        if args.mesh_anisotropy_threshold is None and aniso is not None:
+            args.mesh_anisotropy_threshold = aniso
         print(f"fvens_tpu: solver options from {args.options_file}: "
               f"pc={lin.pc}, restart={lin.restart}, maxiter={lin.maxiter}, "
               f"rtol={lin.rtol}"
@@ -93,7 +100,11 @@ def main(argv=None) -> int:
     md = read_mesh(cfg.mesh_file)
     if args.mesh_reorder != "none":
         from ..mesh.ordering import apply_ordering
-        md = apply_ordering(md, args.mesh_reorder)
+        md = apply_ordering(md, args.mesh_reorder,
+                            anisotropy_threshold=(
+                                args.mesh_anisotropy_threshold
+                                if args.mesh_anisotropy_threshold is not None
+                                else 10.0))
     mesh = compile_mesh(md, cfg.bcs, dtype=dtype)
     print(f"fvens_tpu: mesh {cfg.mesh_file}: {mesh.n_cells} cells, "
           f"{mesh.n_bfaces} boundary faces, {mesh.n_faces} faces")

@@ -175,12 +175,16 @@ def refine_partition(esuel: np.ndarray, nfael: np.ndarray,
 
 
 def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
-                   part: np.ndarray | None = None) -> ShardedMeshBundle:
+                   part: np.ndarray | None = None,
+                   validate: bool = True) -> ShardedMeshBundle:
     topo = build_topology(md)
     for bc in bcs:
         if BC_NAMES.get(bc.type) == BC_PERIODIC:
             compute_periodic_map(topo, md.coords, bc.marker, bc.periodic_axis)
     geom = compute_geometry(md, topo)
+    if validate:
+        from ..mesh.geometry import validate_geometry
+        validate_geometry(md, geom, where="partition_mesh")
     nelem, nb = topo.nelem, topo.nbface
 
     if part is None:

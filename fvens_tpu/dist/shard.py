@@ -290,9 +290,6 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
             raise NotImplementedError(
                 f"pc={self.lin.pc!r} has no distributed form yet; use "
                 "bjacobi/bsgs/bcsgs/ilu0 (shard-local additive Schwarz)")
-        if self.lin.matrix_free:
-            raise NotImplementedError(
-                "distributed matrix-free matvec not wired yet")
         if self.lin.deflation_k:
             raise NotImplementedError(
                 "GCRO-DR recycling is single-chip only (needs axis-aware "
@@ -385,12 +382,47 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
             pc = make_preconditioner(lmesh_loc, jac, lin.pc, lin.pc_sweeps,
                                      ilu=ilu_loc,
                                      ilu_setup=lin.ilu_setup_sweeps)
-            mv_loc = make_bsr_matvec(lmesh_loc, jac)
 
-            def matvec(x):
-                # Krylov vector halo-exchanged every application — the
-                # reference's VecGhostUpdate inside each MatMult
-                return mv_loc(halo_exchange(exch, x)) * mask
+            if lin.matrix_free:
+                # distributed matrix-free matvec (the reference's parallel
+                # MATSHELL: testmatrixfree.cpp runs under MPIEXEC;
+                # alinalg.cpp:124-233): halo-exchange the Krylov vector,
+                # then one residual evaluation per application — the
+                # residual's internal gradient halo rounds ride the same
+                # `ex` hook. The preconditioner stays the assembled
+                # shard-local Jacobian (user-doc.md:22-24). Runs in u's
+                # precision like the single-chip path (steady.py).
+                fmask = mesh_loc.cell_mask[:, None]
+                diag = (mesh_loc.area / (cflj * dt)
+                        * mesh_loc.cell_mask)[:, None]
+                if lin.matrix_free_fd:
+                    eps0 = lin.fd_eps
+
+                    def matvec(x):
+                        # reference FD shell: perturbation eps/||x|| with
+                        # the GLOBAL norm (MPI_Allreduce -> psum)
+                        xh = halo_exchange(exch, x)
+                        nrm2 = jax.lax.psum(((x * fmask) ** 2).sum(), AXIS)
+                        p = eps0 / jnp.maximum(jnp.sqrt(nrm2), 1e-300)
+                        rp = space.compute_residual(
+                            mesh_loc, u_loc + p * xh, False, exchange=ex)[0]
+                        return (diag * x - (rp - rhs) / p) * fmask
+                else:
+                    def matvec(x):
+                        # exact JVP of -rhs plus the pseudo-time diagonal
+                        xh = halo_exchange(exch, x)
+                        _, tang = jax.jvp(
+                            lambda v: space.compute_residual(
+                                mesh_loc, v, False, exchange=ex)[0],
+                            (u_loc,), (xh,))
+                        return (diag * x - tang) * fmask
+            else:
+                mv_loc = make_bsr_matvec(lmesh_loc, jac)
+
+                def matvec(x):
+                    # Krylov vector halo-exchanged every application — the
+                    # reference's VecGhostUpdate inside each MatMult
+                    return mv_loc(halo_exchange(exch, x)) * mask
 
             if warm:
                 x0 = du0_sh[0].astype(lrhs.dtype)

@@ -26,6 +26,13 @@ not emulated verbatim:
                                (mg_levels = L-1 coarsening steps: PETSc
                                counts total levels including the fine one)
   -mesh_reorder rcm|line|line_rcm       -> returned for the mesh pipeline
+  -mesh_anisotropy_threshold X          -> returned for line orderings
+                               (reference doc/user-doc.md:22)
+  -matrix_free_jacobian (+ -matrix_free_difference_step E)
+                            -> LinearSolverConfig.matrix_free=True with the
+                               reference-style FD matvec (matrix_free_fd,
+                               fd_eps=E) — the PETSc MATSHELL of
+                               alinalg.cpp:124-233
   -mat_type / -options_left / -blasted_thread_* / -benchmark_* -> ignored
     (storage is always slot-block BSR; no threads on TPU)
 """
@@ -63,7 +70,8 @@ _IGNORED_PREFIXES = (
     "blasted_thread", "blasted_async_fact_init", "blasted_async_apply_init",
     "blasted_async_sweeps", "benchmark_", "threads_sequence",
     "async_build_sweep", "async_apply_sweep", "fvens_log_file",
-    "number_of_meshes", "sub_pc_sor", "pc_gamg_", "pc_mg_type",
+    "number_of_meshes", "sub_pc_sor", "sub_pc_factor", "pc_gamg_",
+    "pc_mg_type",
     "pc_mg_cycle_type", "mg_levels_ksp_type", "mg_levels_ksp_richardson",
     "mg_levels_pc_type", "mg_levels_sub_pc_type", "mg_coarse_ksp_type",
     "mg_coarse_pc_type", "mg_coarse_sub_pc_type",
@@ -73,12 +81,16 @@ _IGNORED_PREFIXES = (
 def apply_solver_options(opts: dict,
                          base: LinearSolverConfig = None,
                          warn=None) -> tuple:
-    """Translate parsed options onto (LinearSolverConfig, mesh_reorder).
+    """Translate parsed options onto
+    (LinearSolverConfig, mesh_reorder, mesh_anisotropy_threshold).
 
-    mesh_reorder is '' when the file does not specify one. `warn` (callable)
-    receives a message for each unrecognized option."""
+    mesh_reorder is '' when the file does not specify one;
+    mesh_anisotropy_threshold is None when unspecified (the line-ordering
+    default applies). `warn` (callable) receives a message for each
+    unrecognized option."""
     lin = base if base is not None else LinearSolverConfig()
     reorder = ""
+    aniso = None
     updates: dict = {}
 
     ksp = str(opts.get("ksp_type", "fgmres"))
@@ -135,10 +147,26 @@ def apply_solver_options(opts: dict,
 
     if "mesh_reorder" in opts:
         reorder = str(opts["mesh_reorder"])
+    if "mesh_anisotropy_threshold" in opts:
+        aniso = float(opts["mesh_anisotropy_threshold"])
+
+    # -matrix_free_jacobian / -matrix_free_difference_step: the reference's
+    # FD Jacobian shell (alinalg.cpp:124-233; shipped in
+    # tests/solvers/matfree.solverc and testcases/visc-naca0012/opts.solverc
+    # as a commented default). matrix_free_fd=True selects the
+    # reference-style (r(u+px)-r(u))/p matvec, not the exact JVP, so the
+    # options file means what it meant under PETSc.
+    if opts.get("matrix_free_jacobian"):
+        updates["matrix_free"] = True
+        updates["matrix_free_fd"] = True
+    if "matrix_free_difference_step" in opts:
+        updates["fd_eps"] = float(opts["matrix_free_difference_step"])
 
     known = {"ksp_type", "ksp_rtol", "ksp_max_it", "ksp_gmres_restart",
              "pc_type", "sub_pc_type", "blasted_pc_type", "pc_mg_levels",
-             "mg_levels_ksp_max_it", "mg_coarse_ksp_max_it", "mesh_reorder"}
+             "mg_levels_ksp_max_it", "mg_coarse_ksp_max_it", "mesh_reorder",
+             "mesh_anisotropy_threshold", "matrix_free_jacobian",
+             "matrix_free_difference_step"}
     for name in opts:
         if name in known:
             continue
@@ -147,10 +175,11 @@ def apply_solver_options(opts: dict,
         if warn:
             warn(f"solverc: option '-{name}' ignored")
 
-    return dataclasses.replace(lin, **updates), reorder
+    return dataclasses.replace(lin, **updates), reorder, aniso
 
 
 def load_solver_options(path: str, base: LinearSolverConfig = None,
                         warn=None) -> tuple:
-    """parse + apply in one call -> (LinearSolverConfig, mesh_reorder)."""
+    """parse + apply in one call ->
+    (LinearSolverConfig, mesh_reorder, mesh_anisotropy_threshold)."""
     return apply_solver_options(parse_solverc(path), base=base, warn=warn)

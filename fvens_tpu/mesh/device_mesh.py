@@ -215,8 +215,13 @@ class CompiledMesh:
 
 def compile_mesh(md: MeshData, bcs: Sequence[BCSpec] = (),
                  pad_cells: int = 8, pad_faces: int = 8,
-                 dtype=jnp.float64) -> CompiledMesh:
-    """Compile raw mesh + BC spec into device arrays."""
+                 dtype=jnp.float64, validate: bool = True) -> CompiledMesh:
+    """Compile raw mesh + BC spec into device arrays.
+
+    validate=True (default) rejects degenerate input loudly (zero/negative
+    areas, zero-length faces, NaN geometry) instead of emitting inf/NaN
+    coefficient arrays — the reference's behaviour (ameshutils.cpp:127-151).
+    """
     topo = build_topology(md)
 
     # periodic pairing mutates topo.f_cells right-cell entries
@@ -225,6 +230,9 @@ def compile_mesh(md: MeshData, bcs: Sequence[BCSpec] = (),
             compute_periodic_map(topo, md.coords, bc.marker, bc.periodic_axis)
 
     geom = compute_geometry(md, topo)
+    if validate:
+        from .geometry import validate_geometry
+        validate_geometry(md, geom, where="compile_mesh")
 
     nelem, nb, ni = topo.nelem, topo.nbface, topo.ninface
     nf = nb + ni

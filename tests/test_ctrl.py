@@ -61,7 +61,7 @@ def test_solverc_parse_reference_files(refdir):
     from fvens_tpu.io_config.solverc import load_solver_options
 
     # the default / visc-naca file: FGMRES(30) rtol 1e-1, bjacobi+ILU0
-    lin, reorder = load_solver_options(
+    lin, reorder, _ = load_solver_options(
         str(refdir / "testcases/visc-naca0012/opts.solverc"))
     assert lin.rtol == 0.1 and not lin.rtol_adapt
     assert lin.maxiter == 30 and lin.restart == 30
@@ -69,13 +69,13 @@ def test_solverc_parse_reference_files(refdir):
     assert reorder == "rcm"
 
     # 2dcylinder: SOR sub-PC -> multicolor SGS, max_it 20
-    lin, reorder = load_solver_options(
+    lin, reorder, _ = load_solver_options(
         str(refdir / "testcases/2dcylinder/opts.solverc"))
     assert lin.maxiter == 20 and lin.pc == "bcsgs"
     assert reorder == ""
 
     # the GAMG multigrid file -> aggregation AMG with matching depth/sweeps
-    lin, _ = load_solver_options(
+    lin, _, _ = load_solver_options(
         str(refdir / "testcases/visc-naca0012/mgopts.solverc"))
     assert lin.pc == "amg"
     assert lin.mg_levels == 2          # PETSc counts 3 levels incl. fine
@@ -84,9 +84,43 @@ def test_solverc_parse_reference_files(refdir):
     assert lin.maxiter == 10
 
     # BLASTed-as-shell (benchmark.solverc): ilu0 via -sub_pc_type shell
-    lin, _ = load_solver_options(
+    lin, _, _ = load_solver_options(
         str(refdir / "testcases/visc-naca0012/benchmark.solverc"))
     assert lin.pc == "bsgs" and lin.maxiter == 70
+
+
+def test_solverc_matrix_free_mapping(refdir, tmp_path):
+    """-matrix_free_jacobian / -matrix_free_difference_step map onto
+    LinearSolverConfig.matrix_free/matrix_free_fd/fd_eps (the reference's
+    FD Jacobian shell, alinalg.cpp:124-233; shipped in
+    tests/solvers/matfree.solverc). VERDICT r3 missing #5."""
+    from fvens_tpu.io_config.solverc import (load_solver_options,
+                                             parse_solverc,
+                                             apply_solver_options)
+
+    # the shipped reference file enables matrix-free when uncommented;
+    # write the uncommented form verbatim
+    src = parse_solverc(str(refdir / "tests/solvers/matfree.solverc"))
+    assert "matrix_free_jacobian" not in src     # commented out upstream
+    p = tmp_path / "mf.solverc"
+    p.write_text("-matrix_free_jacobian\n"
+                 "-matrix_free_difference_step 1e-6\n"
+                 "-ksp_type fgmres\n-ksp_rtol 1e-1\n-ksp_max_it 30\n"
+                 "-pc_type bjacobi\n-sub_pc_type ilu\n"
+                 "-sub_pc_factor_levels 1\n-mesh_reorder rcm\n")
+    msgs = []
+    lin, reorder, _ = load_solver_options(str(p), warn=msgs.append)
+    assert lin.matrix_free and lin.matrix_free_fd
+    assert lin.fd_eps == 1e-6
+    assert lin.rtol == 0.1 and lin.maxiter == 30
+    assert reorder == "rcm"
+    assert not msgs                       # nothing warned as ignored
+
+    # anisotropy threshold comes back for the line orderings
+    p2 = tmp_path / "an.solverc"
+    p2.write_text("-mesh_reorder line_rcm\n-mesh_anisotropy_threshold 25\n")
+    _, reorder, aniso = load_solver_options(str(p2))
+    assert reorder == "line_rcm" and aniso == 25.0
 
 
 def test_solverc_unknown_options_warn(tmp_path):
@@ -95,7 +129,7 @@ def test_solverc_unknown_options_warn(tmp_path):
     p.write_text("-ksp_rtol 1e-2\n-totally_unknown_thing 3\n"
                  "# comment\n-options_left\n")
     msgs = []
-    lin, _ = load_solver_options(str(p), warn=msgs.append)
+    lin, _, _ = load_solver_options(str(p), warn=msgs.append)
     assert lin.rtol == 1e-2
     assert any("totally_unknown_thing" in m for m in msgs)
     assert not any("options_left" in m for m in msgs)

@@ -127,3 +127,37 @@ def test_compile_mesh_padding():
     # every real cell has 4 signed faces
     sgn = np.asarray(cm.cell_fsign)[:9]
     assert np.all(np.abs(sgn).sum(axis=1) == 4)
+
+
+def test_compile_mesh_rejects_degenerate_input():
+    """compile_mesh/partition_mesh must die loudly on bad topology instead
+    of emitting inf/NaN coefficient arrays (the reference's behaviour,
+    ameshutils.cpp:127-151; VERDICT r3 missing #4 — this bug class shipped
+    a NaN-solve number into BENCH_r03's bigmesh_probe)."""
+    import dataclasses
+    from fvens_tpu.dist.partition import partition_mesh
+    from fvens_tpu.mesh.geometry import MeshValidationError
+
+    good = unit_square_quads(3)
+    compile_mesh(good, [BCSpec(marker=1, type="farfield")])  # sanity
+
+    # collapse node 1 onto node 0: a zero-length face + zero-area cells
+    bad_coords = good.coords.copy()
+    bad_coords[1] = bad_coords[0]
+    bad = dataclasses.replace(good, coords=bad_coords)
+    with pytest.raises(MeshValidationError, match="zero"):
+        compile_mesh(bad, [BCSpec(marker=1, type="farfield")])
+    with pytest.raises(MeshValidationError, match="zero"):
+        partition_mesh(bad, [BCSpec(marker=1, type="farfield")], 2)
+
+    # NaN coordinates are rejected too
+    nan_coords = good.coords.copy()
+    nan_coords[2, 0] = np.nan
+    bad2 = dataclasses.replace(good, coords=nan_coords)
+    with pytest.raises(MeshValidationError, match="non-finite"):
+        compile_mesh(bad2, [BCSpec(marker=1, type="farfield")])
+
+    # the escape hatch still compiles (for deliberate-degenerate tests)
+    cm = compile_mesh(bad, [BCSpec(marker=1, type="farfield")],
+                      validate=False)
+    assert cm.n_cells == 9
