@@ -38,12 +38,19 @@ treat the ratio as an upper bound on the true FVENS ratio. Also reported:
   - vs_cpu_best: against our own best CPU config (mixed precision) — the
     framework-vs-itself cross-platform ratio (lower bound on nothing,
     just honest);
-  - vs_fvens_bound: against the ANALYTIC lower bound on single-socket
-    FVENS wall (scripts/cpu_bound.py roofline model, artifact
-    BASELINE_CPU_BOUND.json) — a deliberately vacuous-generous bound
-    (perfect 64-core scaling, peak DDR5 bandwidth); see
-    docs/BENCH_NOTES.md for why no accelerator can clear 10x against it
-    on a memory-bound CFD kernel.
+  - vs_fvens_estimate / vs_fvens_1core: against the MEASURED native-C++
+    single-core benchmark of the reference's linear stack (BSR block-ILU0
+    + FGMRES(30) at defaults.solverc settings) on the exported REAL bench
+    Jacobians, scaled by documented perfect-64-core parallelism
+    (scripts/cpu_ref_linear.cpp + scripts/cpu_fvens_estimate.py, artifact
+    BASELINE_FVENS_EST.json). The socket estimate is a LOWER bound on
+    true FVENS wall, so vs_fvens_estimate is an UPPER bound on the true
+    10x-bar ratio; see docs/BENCH_NOTES.md for why the 13k-cell case
+    (7 MB matrix, fits in any LLC) cannot clear 10x vs a full socket on
+    ANY accelerator.
+Also reported: mfu / hbm_util — useful-algorithmic-work utilization of the
+chip (tpu_step_model flop/byte counts over the measured wall vs v5e peaks),
+so perf work has a denominator (VERDICT r3 next #3).
 If BASELINE_CPU.json is missing, or was measured at a different git rev
 than HEAD while solver sources changed, bench.py FAILS LOUDLY (stderr
 warning + "baseline_stale": true in the JSON) instead of silently reusing
@@ -64,6 +71,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 TOL_ABS = 1e-10                # absolute residual target (energy norm)
 TARGET_FACTOR = 10.0           # the BASELINE.md bar
 _ROOT = os.path.dirname(os.path.abspath(__file__))
+
+# --- v5e chip peaks (public spec) for utilization accounting -------------
+V5E_F32_PEAK = 49.2e12         # f32 FLOP/s (bf16 peak 197 TF / 4; MXU f32)
+V5E_HBM_GBS = 819.0            # HBM2 bandwidth, GB/s
+
+
+def tpu_step_model(cells: int, k_iters: float, sweeps: int,
+                   krylov_bytes: int = 4, state_bytes: int = 8) -> dict:
+    """Analytic per-implicit-step flop/byte counts (VERDICT r3 next #3).
+
+    USEFUL algorithmic work only (the scripts/cpu_bound.py cost model
+    instantiated for this solver's measured iteration counts) — AD seed
+    replication, emulated-f64 multiplies and padding are implementation
+    overhead and deliberately NOT counted, so mfu/hbm_util answer "what
+    fraction of the chip does algorithm work": N cells, F~=2N faces,
+    nnzb~=4.8N 4x4 blocks.
+
+      flops: residual 2000/cell + Jacobian 3000/cell
+             + k * (matvec 150/cell + sweeps*150/cell + ~50/cell GMRES)
+      bytes: the Krylov phase streams the (1+sweeps) block operands from
+             HBM every iteration (nnzb * 64 B at f32) — the dominant
+             traffic; residual/Jacobian stream the f64 state+mesh SoA
+             (~1 kB/cell) twice.
+    """
+    N = float(cells)
+    nnzb = 4.8 * N
+    flops = (2000.0 * N + 3000.0 * N
+             + k_iters * (150.0 * N + sweeps * 150.0 * N + 50.0 * N))
+    block_b = 16.0 * krylov_bytes
+    bytes_ = (k_iters * (1.0 + sweeps) * nnzb * block_b
+              + 2.0 * 1000.0 * N * state_bytes / 8.0)
+    return {"flops_per_step": flops, "bytes_per_step": bytes_}
+
+
+def utilization(cells: int, steps: int, lin_iters: float, sweeps: int,
+                wall: float) -> dict:
+    m = tpu_step_model(cells, lin_iters / max(steps, 1), sweeps)
+    gflops_eff = m["flops_per_step"] * steps / wall / 1e9
+    gbs_eff = m["bytes_per_step"] * steps / wall / 1e9
+    return {"mfu": gflops_eff * 1e9 / V5E_F32_PEAK,
+            "hbm_util": gbs_eff / V5E_HBM_GBS,
+            "gflops_effective": gflops_eff,
+            "hbm_gbs_effective": gbs_eff}
 
 
 def load_cpu_baseline():
@@ -101,10 +151,15 @@ def load_cpu_baseline():
               f"{rec.get('git_rev', '?')[:12]} but solver sources changed "
               "since — re-run scripts/measure_cpu_baseline.py",
               file=sys.stderr)
-    bpath = os.path.join(_ROOT, "BASELINE_CPU_BOUND.json")
-    if os.path.exists(bpath):
-        with open(bpath) as f:
-            rec["t_bound_s"] = json.load(f)["t_bound_s"]
+    # the MEASURED native-C++ reference-linear-stack estimate
+    # (scripts/cpu_fvens_estimate.py; replaces the vacuous analytic
+    # BASELINE_CPU_BOUND.json roofline, VERDICT r3 missing #1)
+    epath = os.path.join(_ROOT, "BASELINE_FVENS_EST.json")
+    if os.path.exists(epath):
+        with open(epath) as f:
+            est = json.load(f)
+        rec["t_fvens_socket_s"] = est.get("t_fvens_socket_s")
+        rec["t_fvens_1core_s"] = est.get("t_fvens_1core_s")
     return rec, stale
 
 
@@ -245,7 +300,20 @@ def bigmesh_probe(ni=640, nj=320, nsteps=10):
                           tol=1e-16, tol_abs=TOL_ABS, maxiter=600)
     solver = SteadyBackwardEuler(space, pt, lin, NonlinearUpdateConfig("full"))
     lmesh = mesh.astype(jnp.float32)
-    u = initial_state(space, mesh).astype(jnp.float64)
+
+    # a cold CFL-500 second-order start from freestream blows up on the
+    # fine O-mesh (measured: NaN by probe step ~10 on the healthy mesh) —
+    # the full solves get past the transient with a first-order starter
+    # (scripts/bench_bigmesh.py build_case, casesolvers.cpp:225-314), so
+    # the probe does too (untimed)
+    from fvens_tpu.cases.casesolvers import SteadyFlowCase
+    import dataclasses as _dc
+    starter_cfg = _dc.replace(
+        cfg, init=PseudoTimeConfig(cfl_init=50.0, cfl_fin=1000.0,
+                                   tol=1e-1, maxiter=200), linear=lin)
+    u0 = initial_state(space, mesh).astype(jnp.float64)
+    u = SteadyFlowCase(starter_cfg).execute_starter(mesh, u0)
+
     step = solver._jit("classic", lambda: jax.jit(solver._step))
     out = step(mesh, u, 500.0, 1e-2, lmesh=lmesh)    # compile (not timed)
     jax.device_get(out[1])
@@ -256,9 +324,17 @@ def bigmesh_probe(ni=640, nj=320, nsteps=10):
         rv, iv = jax.device_get((resj, itersj))
         iters += int(iv)
     dt = (time.perf_counter() - t0) / nsteps
-    return {"cells": mesh.n_cells, "ms_per_step": dt * 1e3,
-            "cell_updates_per_sec": mesh.n_cells / dt,
-            "lin_iters_per_step": iters / nsteps, "probe_steps": nsteps}
+    rv_last = jax.device_get(resj)
+    if not (iters > 0 and float(rv_last) == float(rv_last)):
+        # a NaN/no-op probe must never ship a throughput number again
+        # (VERDICT r3 weak #1)
+        raise RuntimeError(
+            f"bigmesh_probe unhealthy: lin_iters={iters}, res={rv_last!r}")
+    out = {"cells": mesh.n_cells, "ms_per_step": dt * 1e3,
+           "cell_updates_per_sec": mesh.n_cells / dt,
+           "lin_iters_per_step": iters / nsteps, "probe_steps": nsteps}
+    out.update(utilization(mesh.n_cells, nsteps, iters, 6, dt * nsteps))
+    return out
 
 
 def main() -> int:
@@ -305,8 +381,17 @@ def main() -> int:
     }
     if "cpu_best_wall" in base:
         out["vs_cpu_best"] = (base["cpu_best_wall"] / TARGET_FACTOR) / wall
-    if "t_bound_s" in base:
-        out["vs_fvens_bound"] = (base["t_bound_s"] / TARGET_FACTOR) / wall
+    if base.get("t_fvens_socket_s"):
+        # measured native-C++ reference linear stack on the exported real
+        # Jacobians, scaled by perfect 64-core socket parallelism (a LOWER
+        # bound on true FVENS wall -> this ratio is an upper bound;
+        # model written down in scripts/cpu_fvens_estimate.py)
+        out["vs_fvens_estimate"] = (base["t_fvens_socket_s"]
+                                    / TARGET_FACTOR) / wall
+        out["vs_fvens_1core"] = base["t_fvens_1core_s"] / wall
+    # utilization accounting (VERDICT r3 next #3): analytic useful-work
+    # flop/byte model over the measured wall, vs v5e peaks
+    out.update(utilization(mesh.n_cells, steps, lin_iters, 6, wall))
     if args.two_phase:
         out["two_phase_gate"] = args.two_phase
     out["pipeline"] = not args.no_pipeline

@@ -34,7 +34,8 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
 
-def build_case(ni, nj, platform=None, banded=False):
+def build_case(ni, nj, platform=None, banded=False, pipeline=False,
+               tol=1e-6, tol_abs=1e-10):
     """Reference-faithful case pipeline: first-order STARTER solve (loose
     tol, gentle CFL — casesolvers.cpp:225-314) then the second-order main
     solve. A cold CFL-500 second-order start from freestream blows up on
@@ -82,9 +83,10 @@ def build_case(ni, nj, platform=None, banded=False):
                              pc="bsgs", pc_sweeps=6, mixed_precision=True,
                              banded=banded)
     main = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0,
-                            tol=1e-6, tol_abs=1e-10, maxiter=600)
+                            tol=tol, tol_abs=tol_abs, maxiter=600,
+                            pipeline=pipeline)
     init = PseudoTimeConfig(cfl_init=50.0, cfl_fin=1000.0,
-                            tol=1e-1, maxiter=200)
+                            tol=1e-1, maxiter=200, pipeline=pipeline)
     cfg = FlowCaseConfig(physics=pcfg, numerics=ncfg, bcs=bcs,
                          main=main, init=init, linear=lin,
                          nl_update=NonlinearUpdateConfig("full"))
@@ -92,6 +94,42 @@ def build_case(ni, nj, platform=None, banded=False):
     case = SteadyFlowCase(cfg)
     u0 = initial_state(build_space(cfg), mesh).astype(jnp.float64)
     return case, mesh, u0
+
+
+def _two_phase_solve(case, mesh, u0, gate, tol, log_every):
+    """Precision-scheduled solve (bench.py --two-phase at large scale):
+    phase A runs starter+main FULLY in f32 (state, residual, controller)
+    down to absolute residual `gate`; phase B casts up and continues in
+    f64 (mixed f32 Krylov) to the target, starting its CFL ramp at phase
+    A's final CFL. Returns solve() -> (u, info) with combined counts."""
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    from fvens_tpu.cases.casesolvers import SteadyFlowCase, build_space
+
+    mesh32 = mesh.astype(jnp.float32)
+    cfgA = dc.replace(case.cfg, main=dc.replace(case.cfg.main,
+                                                tol=1e-16, tol_abs=gate))
+    caseA = SteadyFlowCase(cfgA)
+    # ONE phase-B solver reused across warmup+timed calls (its jitted step
+    # does not depend on PseudoTimeConfig; a fresh solver would retrace
+    # inside the measured solve — bench.py run_solve has the same note)
+    solverB = case._make_solver(build_space(case.cfg), case.cfg.main)
+    u032 = u0.astype(jnp.float32)
+
+    def solve():
+        uA, infoA = caseA.solve(mesh32, u032, log_every=log_every)
+        cflB = (infoA.history[-1][3] if infoA.history
+                else case.cfg.main.cfl_init)
+        solverB.cfg = dc.replace(case.cfg.main, cfl_init=float(cflB))
+        u, info = solverB.solve(mesh, uA.astype(jnp.float64),
+                                log_every=log_every)
+        jax.block_until_ready(u)
+        info.steps += infoA.steps
+        info.total_lin_iters += infoA.total_lin_iters
+        return u, info
+
+    return solve
 
 
 def main() -> int:
@@ -112,6 +150,22 @@ def main() -> int:
                          "generated O-meshes are 100%% band-coverable, so "
                          "the per-Krylov-iteration gather becomes contiguous "
                          "rolls (solver/banded.py)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="software-pipelined host stepping (dispatch k+1 "
+                         "before fetching k; hides the per-step tunnel "
+                         "round trip, trajectory-identical)")
+    ap.add_argument("--stop", choices=["dual", "abs"], default="dual",
+                    help="stopping rule: 'dual' = rel 1e-6 OR abs 1e-10 "
+                         "whichever first (the scaling-study rule); 'abs' "
+                         "= abs 1e-10 only (the BASELINE.md driver rule)")
+    ap.add_argument("--two-phase", type=float, default=0.0, nargs="?",
+                    const=1e-3, dest="two_phase",
+                    help="precision scheduling (VERDICT r3 next #5): run "
+                         "starter+main fully in f32 down to this ABSOLUTE "
+                         "residual, then continue in f64 (mixed Krylov) to "
+                         "the target — at >=200k cells the emulated-f64 "
+                         "residual/update dominates step cost, so the f32 "
+                         "transient should pay where it lost at 13k")
     ap.add_argument("--log-every", type=int, default=20)
     ap.add_argument("--out", default=os.path.join(_ROOT,
                                                   "BENCH_BIGMESH.json"))
@@ -122,29 +176,42 @@ def main() -> int:
         with open(args.out) as f:
             results = json.load(f).get("runs", [])
 
+    tol = 1e-16 if args.stop == "abs" else 1e-6
+
     import jax
     for size in args.sizes if not args.probe_only else []:
         ni, nj = (int(x) for x in size.split("x"))
         case, mesh, u0 = build_case(ni, nj, platform=args.platform,
-                                    banded=args.banded)
+                                    banded=args.banded,
+                                    pipeline=args.pipeline, tol=tol)
         platform = jax.devices()[0].platform
-        print(f"--- {size}: {mesh.n_cells} cells on {platform}")
+        print(f"--- {size}: {mesh.n_cells} cells on {platform} "
+              f"(stop={args.stop}, pipeline={args.pipeline}, "
+              f"two_phase={args.two_phase})")
+
+        if args.two_phase:
+            solve = _two_phase_solve(case, mesh, u0, args.two_phase, tol,
+                                     args.log_every)
+        else:
+            def solve():
+                u, info = case.solve(mesh, u0, log_every=args.log_every)
+                jax.block_until_ready(u)
+                return u, info
 
         t0 = time.perf_counter()
-        u, info = case.solve(mesh, u0, log_every=args.log_every)
-        jax.block_until_ready(u)
+        u, info = solve()
         wall_cold = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        u, info = case.solve(mesh, u0, log_every=args.log_every)
-        jax.block_until_ready(u)
+        u, info = solve()
         wall = time.perf_counter() - t0
         # wall includes the first-order starter solve; steps/lin_iters are
         # the MAIN solve's (SolveInfo comes from execute_main)
 
         rec = {
             "size": size, "cells": mesh.n_cells, "platform": platform,
-            "banded": bool(args.banded),
+            "banded": bool(args.banded), "pipeline": bool(args.pipeline),
+            "stop": args.stop,
             "wall_s": wall, "wall_incl_compile_s": wall_cold,
             "steps": info.steps, "lin_iters": info.total_lin_iters,
             "relres": info.finalres / info.initres,
@@ -152,10 +219,15 @@ def main() -> int:
             "cell_updates_per_sec": mesh.n_cells * info.steps / wall,
             "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
+        if args.two_phase:
+            rec["two_phase_gate"] = args.two_phase
         print(json.dumps(rec))
         results = [r for r in results
                    if not (r["size"] == size and r["platform"] == platform
-                           and bool(r.get("banded")) == bool(args.banded))]
+                           and bool(r.get("banded")) == bool(args.banded)
+                           and r.get("stop", "dual") == args.stop
+                           and bool(r.get("two_phase_gate"))
+                           == bool(args.two_phase))]
         results.append(rec)
         with open(args.out, "w") as f:
             json.dump({"runs": results}, f, indent=1)
