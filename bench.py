@@ -164,7 +164,7 @@ def load_cpu_baseline():
 
 
 def run_solve(platform=None, mixed=True, pc="bsgs", sweeps=6,
-              two_phase=0.0, pipeline=False):
+              two_phase=0.0, pipeline=False, matrix_free=False):
     """Build the visc-naca0012 case and return a closure running the solve.
 
     two_phase > 0 enables PRECISION SCHEDULING: phase A runs the whole
@@ -217,7 +217,8 @@ def run_solve(platform=None, mixed=True, pc="bsgs", sweeps=6,
     nl = NonlinearUpdateConfig("full")
 
     lin = LinearSolverConfig(restart=90, maxiter=90, rtol=1e-2,
-                             pc=pc, pc_sweeps=sweeps, mixed_precision=mixed)
+                             pc=pc, pc_sweeps=sweeps, mixed_precision=mixed,
+                             matrix_free=matrix_free)
     pt = PseudoTimeConfig(cfl_init=500.0, cfl_fin=5000.0,
                           tol=1e-16, tol_abs=TOL_ABS, maxiter=600,
                           pipeline=pipeline)

@@ -288,25 +288,17 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
     def __post_init__(self):
         if self.lin.pc in ("bline", "amg"):
             raise NotImplementedError(
-                f"pc={self.lin.pc!r} has no distributed form yet; use "
-                "bjacobi/bsgs/bcsgs/ilu0 (shard-local additive Schwarz)")
-        if self.lin.deflation_k:
-            raise NotImplementedError(
-                "GCRO-DR recycling is single-chip only (needs axis-aware "
-                "projections)")
-        if self.lin.warm_start:
-            raise NotImplementedError(
-                "warm start is single-chip only (off by default; measured "
-                "harmful, docs/BENCH_NOTES.md)")
+                f"pc={self.lin.pc!r} has no distributed form (stacking the "
+                "per-part line/hierarchy structures needs cross-part shape "
+                "padding, and both measured slower than bsgs on TPU — "
+                "docs/BENCH_NOTES.md); use bjacobi/bsgs/bcsgs/ilu0 "
+                "(shard-local additive Schwarz), optionally banded, "
+                "matrix-free, warm_start or deflation_k")
         if self.cfg.device_steps > 1:
             raise NotImplementedError(
                 "device-side chunked stepping (device_steps>1) is "
                 "single-chip only; the distributed step is already one "
                 "device program per pseudo-time step")
-        if self.lin.banded:
-            raise NotImplementedError(
-                "banded neighbour encoding is single-chip only (the band "
-                "analysis would need to run per shard-local mesh)")
 
     # pc-specific host caches don't apply to the supported distributed pcs
     def _lines(self, mesh):
@@ -314,6 +306,23 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
 
     def _mg(self, mesh):
         return None
+
+    def _banded(self, dmesh):
+        """Per-part band analysis (lin.banded): one shared static offsets
+        tuple over a stacked per-shard BandedStructure, with seam/halo
+        couplings in the compact rest lists (banded_structure_parts).
+        None (gather path) when the partitioned mesh is not band-dominant."""
+        if not self.lin.banded:
+            return None
+        cache = getattr(self, "_banded_cache", None)
+        key = id(dmesh)
+        if cache is None or cache[0] != key:
+            import numpy as np
+            from ..solver.banded import banded_structure_parts
+            m = dmesh.mesh
+            self._banded_cache = (key, banded_structure_parts(
+                np.asarray(m.cell_nbrs), np.asarray(m.nbr_mask)))
+        return self._banded_cache[1]
 
     def _ilu(self, dmesh):
         """Per-part ILU0 sparsity analysis (pc='ilu0'): one ILUStructure
@@ -343,17 +352,23 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
         iters) [+ du], so the inherited host loop drives it unchanged.
         u is (D, NC_local, V) sharded on the leading device axis."""
         from ..solver import jacobian as jacmod
-        from ..solver.linear import (gmres, make_bsr_matvec,
+        from ..solver.linear import (gmres, gmres_dr, make_bsr_matvec,
                                      make_preconditioner)
         from ..solver.relaxation import get_update_scheme
-        assert not return_defl and U0 is None
         flow, space, lin, nl = self.flow, self.space, self.lin, self.nl
+        defl = return_defl
+        have_U0 = U0 is not None
         warm = du0 is not None
         mixed = lin.mixed_precision and u.dtype == jnp.float64
         lm = lmesh if (mixed and lmesh is not None) else dmesh
+        # banded (shifted-slice) encoding: same eligibility rule as the
+        # single-chip step (steady.py banded_on)
+        banded_on = (bl is not None and not lin.matrix_free
+                     and lin.pc in ("bjacobi", "bsgs"))
+        bl_arg = bl if banded_on else None
 
-        def body(mesh_st, lmesh_st, pps, ppr, u_sh, du0_sh, ilu_st, cflj,
-                 rtolj, ocap):
+        def body(mesh_st, lmesh_st, pps, ppr, u_sh, du0_sh, U0_st, ilu_st,
+                 bl_st, cflj, rtolj, ocap):
             mesh_loc = jax.tree_util.tree_map(lambda x: x[0], mesh_st)
             exch = flow._exch(pps, ppr)
             ex = partial(halo_exchange, exch)
@@ -379,9 +394,28 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
             # per-rank bjacobi with a local ILU0 (defaults.solverc:16-19)
             ilu_loc = (jax.tree_util.tree_map(lambda x: x[0], ilu_st)
                        if lin.pc == "ilu0" else None)
-            pc = make_preconditioner(lmesh_loc, jac, lin.pc, lin.pc_sweeps,
-                                     ilu=ilu_loc,
-                                     ilu_setup=lin.ilu_setup_sweeps)
+            if banded_on:
+                # per-shard banded operators: interior couplings as K
+                # contiguous rolls, seam/halo couplings through the compact
+                # rest scatter (solver/banded.py) — row-by-row equal to the
+                # gather operators up to neighbour summation order
+                from ..solver.banded import (banded_blocks, make_banded_bsgs,
+                                             rest_blocks)
+                from ..solver.linear import block_jacobi_inverse
+                bl_loc = jax.tree_util.tree_map(lambda x: x[0], bl_st)
+                Dinv_b = block_jacobi_inverse(jac.D)
+                if lin.pc == "bjacobi":
+                    pc = lambda v: jnp.einsum("cij,cj->ci", Dinv_b, v)
+                else:
+                    DN = jnp.einsum("cij,ckjl->ckil", Dinv_b, jac.N)
+                    pc = make_banded_bsgs(Dinv_b, banded_blocks(bl_loc, DN),
+                                          bl_loc.offsets, lin.pc_sweeps,
+                                          bl=bl_loc,
+                                          DNr=rest_blocks(bl_loc, DN))
+            else:
+                pc = make_preconditioner(lmesh_loc, jac, lin.pc,
+                                         lin.pc_sweeps, ilu=ilu_loc,
+                                         ilu_setup=lin.ilu_setup_sweeps)
 
             if lin.matrix_free:
                 # distributed matrix-free matvec (the reference's parallel
@@ -416,6 +450,14 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
                                 mesh_loc, v, False, exchange=ex)[0],
                             (u_loc,), (xh,))
                         return (diag * x - tang) * fmask
+            elif banded_on:
+                from ..solver.banded import make_banded_matvec
+                mv_loc = make_banded_matvec(
+                    jac.D, banded_blocks(bl_loc, jac.N), bl_loc.offsets,
+                    bl=bl_loc, R=rest_blocks(bl_loc, jac.N))
+
+                def matvec(x):
+                    return mv_loc(halo_exchange(exch, x)) * mask
             else:
                 mv_loc = make_bsr_matvec(lmesh_loc, jac)
 
@@ -430,10 +472,20 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
                                jnp.zeros_like(x0))
             else:
                 x0 = jnp.zeros_like(lrhs)
-            du, iters, relres = gmres(
-                matvec, lrhs * mask, x0, lambda v: pc(v) * mask,
-                restart=lin.restart, maxiter=lin.maxiter, rtol=rtolj,
-                axis_name=AXIS)
+            if defl:
+                # GCRO-DR over the device axis (axis-aware projections +
+                # Cholesky-QR in gmres_dr): the recycled directions are
+                # sharded like u and carried by the inherited host loop
+                U_loc = U0_st[0].astype(lrhs.dtype) if have_U0 else None
+                du, iters, relres, U_new = gmres_dr(
+                    matvec, lrhs * mask, x0, lambda v: pc(v) * mask,
+                    U=U_loc, k=lin.deflation_k, restart=lin.restart,
+                    maxiter=lin.maxiter, rtol=rtolj, axis_name=AXIS)
+            else:
+                du, iters, relres = gmres(
+                    matvec, lrhs * mask, x0, lambda v: pc(v) * mask,
+                    restart=lin.restart, maxiter=lin.maxiter, rtol=rtolj,
+                    axis_name=AXIS)
             if mixed:
                 du = du.astype(u_loc.dtype)
 
@@ -466,23 +518,33 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
                   & jnp.isfinite(relres) & jnp.isfinite(du).all())
             ok = jax.lax.pmin(jnp.where(ok, 1, 0), AXIS) > 0
             res = jnp.where(ok, res, jnp.nan)
+            outs = (unew[None], res, iters)
             if return_du:
-                return unew[None], res, iters, du[None]
-            return unew[None], res, iters
+                outs = outs + (du[None],)
+            if defl:
+                outs = outs + (U_new[None],)
+            return outs
 
-        out_specs = ((P(AXIS), P(), P(), P(AXIS)) if return_du
-                     else (P(AXIS), P(), P()))
+        out_specs = (P(AXIS), P(), P())
+        if return_du:
+            out_specs = out_specs + (P(AXIS),)
+        if defl:
+            out_specs = out_specs + (P(AXIS),)
         du0_arg = du0 if warm else u    # dummy, sliced but unused
+        U0_arg = U0 if have_U0 else u   # dummy, sliced but unused
         # pc='ilu0': the stacked per-part ILUStructure rides the device
-        # axis; for other pcs pass the (leafless) None pytree
+        # axis; for other pcs pass the (leafless) None pytree — same rule
+        # for the stacked per-part BandedStructure
         ilu_arg = ilu if self.lin.pc == "ilu0" else None
         ilu_spec = (jax.tree_util.tree_map(lambda _: P(AXIS), ilu_arg)
                     if ilu_arg is not None else None)
+        bl_spec = (jax.tree_util.tree_map(lambda _: P(AXIS), bl_arg)
+                   if bl_arg is not None else None)
         return jax.shard_map(
             body, mesh=flow.jmesh,
             in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                      ilu_spec, P(), P(), P()),
+                      P(AXIS), ilu_spec, bl_spec, P(), P(), P()),
             out_specs=out_specs,
         )(dmesh.mesh, lm.mesh, dmesh.pp_send, dmesh.pp_recv, u, du0_arg,
-          ilu_arg, jnp.asarray(cfl), jnp.asarray(rtol),
+          U0_arg, ilu_arg, bl_arg, jnp.asarray(cfl), jnp.asarray(rtol),
           jnp.asarray(omega_cap))

@@ -37,7 +37,8 @@ import numpy as np
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["slot_sel", "valid"],
+         data_fields=["slot_sel", "valid", "rest_cell", "rest_slot",
+                      "rest_nbr", "rest_valid"],
          meta_fields=["offsets"])
 @dataclasses.dataclass(frozen=True)
 class BandedStructure:
@@ -48,10 +49,28 @@ class BandedStructure:
               (clamped to 0 where the band is absent; see valid).
     valid:    (K, NC) int8 — 1 where cell c really has a neighbour at
               offset d_k (selected blocks are multiplied by this).
+
+    rest_*: compact COO list of the valid slots NOT covered by any band
+    (empty on fully band-coverable meshes — the single-chip generated-mesh
+    case). The hybrid operators apply bands as rolls and the rest as one
+    small gather + scatter-add; this is what makes the encoding usable on
+    partitioned meshes, where cells on the partition seam point at halo
+    slots appended after the owned range (dist/partition.py) and so fall
+    off the interior bands.
+      rest_cell:  (NR,) int32 — row the uncovered block belongs to
+                  (== NC on padding entries: scatter mode='drop').
+      rest_slot:  (NR,) int32 — which cell_nbrs slot it came from.
+      rest_nbr:   (NR,) int32 — the neighbour index it points at (in
+                  range; 0 on padding, masked by rest_valid).
+      rest_valid: (NR,) int8.
     """
     offsets: tuple
     slot_sel: jnp.ndarray
     valid: jnp.ndarray
+    rest_cell: jnp.ndarray
+    rest_slot: jnp.ndarray
+    rest_nbr: jnp.ndarray
+    rest_valid: jnp.ndarray
 
 
 def banded_structure(mesh, max_bands: int = 8):
@@ -82,9 +101,84 @@ def banded_structure(mesh, max_bands: int = 8):
     # every valid slot must land in exactly one band
     if int(valid.sum()) != int(mask.sum()):
         return None
+    nr0 = np.zeros(0, np.int32)
     return BandedStructure(offsets=offsets,
                            slot_sel=jnp.asarray(slot_sel),
-                           valid=jnp.asarray(valid))
+                           valid=jnp.asarray(valid),
+                           rest_cell=jnp.asarray(nr0),
+                           rest_slot=jnp.asarray(nr0),
+                           rest_nbr=jnp.asarray(nr0),
+                           rest_valid=jnp.asarray(nr0.astype(np.int8)))
+
+
+def banded_structure_parts(nb, mask, max_bands: int = 8,
+                           min_cover: float = 0.5,
+                           max_rest_frac: float = 0.75):
+    """Band analysis of PARTITIONED neighbour tables (dist/partition.py).
+
+    nb:   (D, NC, S) stacked shard-local cell_nbrs (own cells first, halo
+          slots appended — partition_mesh's local numbering).
+    mask: (D, NC, S) stacked nbr_mask > 0.
+
+    The offsets must be a single static tuple SHARED by every shard (the
+    shard_map body is one program), so they are chosen from the GLOBAL
+    offset histogram; per-part coverage then differs only in the valid
+    masks. Slots no band covers — dominated by seam cells pointing at halo
+    slots — go to the per-part compact rest list, padded to the max count
+    across parts. Returns a stacked BandedStructure (leaves (D, ...)) or
+    None when bands would cover less than `min_cover` of the valid slots
+    (the caller keeps the gather path, same contract as
+    banded_structure)."""
+    nb = np.asarray(nb)
+    mask = np.asarray(mask) > 0
+    D, NC, S = nb.shape
+    off = nb - np.arange(NC, dtype=nb.dtype)[None, :, None]
+    offs, counts = np.unique(off[mask], return_counts=True)
+    if len(offs) == 0:
+        return None
+    order = np.argsort(-counts)[:max_bands]
+    cover = counts[order].sum() / max(1, mask.sum())
+    if cover < min_cover:
+        return None
+    offsets = tuple(int(offs[k]) for k in order)
+
+    K = len(offsets)
+    slot_sel = np.zeros((D, K, NC), np.int32)
+    valid = np.zeros((D, K, NC), np.int8)
+    covered = np.zeros_like(mask)
+    for k, d in enumerate(offsets):
+        hit = mask & (off == d) & ~covered            # (D, NC, S)
+        # only the FIRST slot at this offset joins the band (a cell can
+        # have two neighbours at the same offset through a periodic seam);
+        # later duplicates stay uncovered and fall into the rest list
+        first = hit & (np.cumsum(hit, axis=2) == 1)
+        has = first.any(axis=2)
+        slot_sel[:, k] = np.where(has, first.argmax(axis=2), 0)
+        valid[:, k] = has
+        covered |= first
+    rest = mask & ~covered
+    nrs = rest.reshape(D, -1).sum(axis=1)
+    NR = int(nrs.max())
+    if NR > max_rest_frac * mask.sum() / D:
+        return None
+    rest_cell = np.full((D, NR), NC, np.int32)        # pad -> scatter-drop
+    rest_slot = np.zeros((D, NR), np.int32)
+    rest_nbr = np.zeros((D, NR), np.int32)
+    rest_valid = np.zeros((D, NR), np.int8)
+    for p in range(D):
+        cells, slots = np.nonzero(rest[p])
+        n = cells.size
+        rest_cell[p, :n] = cells
+        rest_slot[p, :n] = slots
+        rest_nbr[p, :n] = nb[p, cells, slots]
+        rest_valid[p, :n] = 1
+    return BandedStructure(offsets=offsets,
+                           slot_sel=jnp.asarray(slot_sel),
+                           valid=jnp.asarray(valid),
+                           rest_cell=jnp.asarray(rest_cell),
+                           rest_slot=jnp.asarray(rest_slot),
+                           rest_nbr=jnp.asarray(rest_nbr),
+                           rest_valid=jnp.asarray(rest_valid))
 
 
 def banded_blocks(bl: BandedStructure, N):
@@ -97,24 +191,48 @@ def banded_blocks(bl: BandedStructure, N):
     return B * bl.valid[..., None, None].astype(N.dtype)
 
 
-def make_banded_matvec(D, B, offsets):
-    """mv(x) = D x + sum_k B_k (x shifted by d_k): K contiguous rolls +
-    batched 4x4 einsums, no index gather. Exactly equivalent to the
-    slot-gather matvec up to neighbour summation order (valid-masked
-    blocks are zero; rolled wrap-around values only ever multiply zeros)."""
+def rest_blocks(bl: BandedStructure, N):
+    """Compact (NR, V, V) blocks of the slots no band covers:
+    R[r] = N[rest_cell[r], rest_slot[r]] (zero on padding). Like
+    banded_blocks, one small gather paid once per Newton step."""
+    if bl.rest_cell.shape[0] == 0:
+        return None
+    c = jnp.minimum(bl.rest_cell, N.shape[0] - 1)
+    R = N[c, bl.rest_slot]
+    return R * bl.rest_valid[:, None, None].astype(N.dtype)
+
+
+def _rest_apply(bl: BandedStructure, R, x, y, sign=1.0):
+    """y += sign * scatter-add of R_r x[rest_nbr_r] at rows rest_cell_r.
+    Padding rows carry rest_cell == NC: dropped by the scatter."""
+    contrib = jnp.einsum("rij,rj->ri", R, x[bl.rest_nbr])
+    return y.at[bl.rest_cell].add(sign * contrib, mode="drop")
+
+
+def make_banded_matvec(D, B, offsets, bl=None, R=None):
+    """mv(x) = D x + sum_k B_k (x shifted by d_k) [+ rest scatter]: K
+    contiguous rolls + batched 4x4 einsums instead of the per-iteration
+    (NC, S) index gather. Exactly equivalent to the slot-gather matvec up
+    to neighbour summation order (valid-masked blocks are zero; rolled
+    wrap-around values only ever multiply zeros). When the structure
+    carries a rest list (partitioned meshes: seam cells point at halo
+    slots), those few blocks are applied as one compact gather +
+    scatter-add (R = rest_blocks(bl, N))."""
     def mv(x):
         y = jnp.einsum("cij,cj->ci", D, x)
         for k, d in enumerate(offsets):
             y = y + jnp.einsum("cij,cj->ci", B[k], jnp.roll(x, -d, axis=0))
+        if R is not None:
+            y = _rest_apply(bl, R, x, y)
         return y
     return mv
 
 
-def make_banded_bsgs(Dinv, DNb, offsets, sweeps: int):
+def make_banded_bsgs(Dinv, DNb, offsets, sweeps: int, bl=None, DNr=None):
     """Banded form of the pc='bsgs' damped block-Jacobi sweeps
     (solver/linear.py make_preconditioner): z' = D^-1 v - (D^-1 N) z_nbr
     with the neighbour product as shifted slices. DNb = banded_blocks of
-    (D^-1 N)."""
+    (D^-1 N); DNr = rest_blocks of the same (partitioned meshes)."""
     apply_dinv = lambda v: jnp.einsum("cij,cj->ci", Dinv, v)
 
     def pc(v):
@@ -125,6 +243,8 @@ def make_banded_bsgs(Dinv, DNb, offsets, sweeps: int):
             for k, d in enumerate(offsets):
                 acc = acc - jnp.einsum("cij,cj->ci", DNb[k],
                                        jnp.roll(z, -d, axis=0))
+            if DNr is not None:
+                acc = _rest_apply(bl, DNr, z, acc, sign=-1.0)
             z = acc
         return z
     return pc

@@ -377,7 +377,8 @@ def gmres(matvec: Callable, b, x0, pc: Callable, restart: int = 30,
 
 
 def gmres_dr(matvec: Callable, b, x0, pc: Callable, U=None, k: int = 16,
-             restart: int = 30, maxiter: int = 30, rtol: float = 1e-1):
+             restart: int = 30, maxiter: int = 30, rtol: float = 1e-1,
+             allreduce: Callable = None, axis_name: str = None):
     """Deflated/recycling right-preconditioned GMRES (GCRO-DR class).
 
     The reference reaches few Krylov iterations per Newton step through a
@@ -402,15 +403,40 @@ def gmres_dr(matvec: Callable, b, x0, pc: Callable, U=None, k: int = 16,
     U: (k,)+b.shape recycled directions from the previous solve, or None
     (first call: plain projected Arnoldi, harvest only).
     Returns (x, iters, relres, U_new) with U_new shaped like U.
+
+    `allreduce`/`axis_name`: same contract as gmres — with an axis, every
+    inner product is psum'd and each rank holds its slab of the vectors, so
+    the same code runs distributed under shard_map. The two tall-skinny QRs
+    (setup A U^T = Q R and the harvest orthonormalization) become
+    Cholesky-QR with a psum'd k x k Gram matrix: G = (A U)(A U)^T = R^T R,
+    so C = L^-1 (A U) and U <- L^-1 U with L = chol(G) — identical algebra,
+    axis-local except for the small replicated Gram psum.
     """
     shape = b.shape
     dtype = b.dtype
     n = b.size
     bf = b.reshape(n)
+    if axis_name is not None and allreduce is None:
+        allreduce = lambda x: jax.lax.psum(x, axis_name)
+    ar = allreduce if allreduce is not None else (lambda x: x)
+    pv = ((lambda x: jax.lax.pcast(x, axis_name, to="varying"))
+          if axis_name else (lambda x: x))
     mv = lambda v: matvec(v.reshape(shape)).reshape(n)
     pcf = lambda v: pc(v.reshape(shape)).reshape(n)
 
-    bnorm = jnp.sqrt(jnp.sum(bf * bf))
+    def cholqr(A):
+        """Rows of A -> L^-1 A with orthonormal rows (Cholesky QR over the
+        device axis); returns (Q_rows, L). The jittered Gram diagonal plays
+        the rank-deficiency role of the QR path's R-diag clamping."""
+        G = ar(A @ A.T)
+        eps = (jnp.asarray(1e-12, dtype) * jnp.trace(G) / max(k, 1)
+               + jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-37,
+                             dtype))
+        L = jnp.linalg.cholesky(G + eps * jnp.eye(k, dtype=dtype))
+        L = jnp.where(jnp.isfinite(L), L, jnp.eye(k, dtype=dtype))
+        return jax.scipy.linalg.solve_triangular(L, A, lower=True), L
+
+    bnorm = jnp.sqrt(ar(jnp.sum(bf * bf)))
     tol = rtol * bnorm
     m = restart
     ncycles = max(1, -(-maxiter // restart))
@@ -418,30 +444,37 @@ def gmres_dr(matvec: Callable, b, x0, pc: Callable, U=None, k: int = 16,
 
     if have_U:
         Ur = U.reshape(k, n).astype(dtype)
-        AU = jax.vmap(mv)(Ur)                       # (k, n) batched matvec
-        Q, R = jnp.linalg.qr(AU.T)                  # A U^T = Q R
-        # guard a rank-deficient recycle space: clamp tiny R diagonals so
-        # the triangular solve stays finite (the affected directions then
-        # deflate nothing instead of poisoning the solve)
-        d = jnp.diagonal(R)
-        dsafe = jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
-        R = R - jnp.diag(d) + jnp.diag(dsafe)
-        C = Q.T                                     # (k, n), orthonormal rows
-        Ur = jax.scipy.linalg.solve_triangular(R.T, Ur, lower=True)
+        if axis_name is None:
+            AU = jax.vmap(mv)(Ur)                   # (k, n) batched matvec
+            Q, R = jnp.linalg.qr(AU.T)              # A U^T = Q R
+            # guard a rank-deficient recycle space: clamp tiny R diagonals
+            # so the triangular solve stays finite (the affected directions
+            # then deflate nothing instead of poisoning the solve)
+            d = jnp.diagonal(R)
+            dsafe = jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+            R = R - jnp.diag(d) + jnp.diag(dsafe)
+            C = Q.T                                 # (k, n) orthonormal rows
+            Ur = jax.scipy.linalg.solve_triangular(R.T, Ur, lower=True)
+        else:
+            # matvecs unrolled (static k): each application halo-exchanges,
+            # and collectives cannot ride inside vmap under shard_map
+            AU = jnp.stack([mv(Ur[i]) for i in range(k)])
+            C, L = cholqr(AU)                       # C = R^-T (A U), L = R^T
+            Ur = jax.scipy.linalg.solve_triangular(L, Ur, lower=True)
     else:
-        C = jnp.zeros((k, n), dtype)
-        Ur = jnp.zeros((k, n), dtype)
+        C = pv(jnp.zeros((k, n), dtype))
+        Ur = pv(jnp.zeros((k, n), dtype))
 
     def cycle(x, total_iters):
         r = bf - mv(x)
         if have_U:
-            q = C @ r
+            q = ar(C @ r)
             x = x + Ur.T @ q
             r = r - C.T @ q
-        beta = jnp.sqrt(jnp.sum(r * r))
+        beta = jnp.sqrt(ar(jnp.sum(r * r)))
 
-        V = jnp.zeros((m + 1, n), dtype)
-        Z = jnp.zeros((m, n), dtype)
+        V = pv(jnp.zeros((m + 1, n), dtype))
+        Z = pv(jnp.zeros((m, n), dtype))
         B = jnp.zeros((k, m), dtype)
         H = jnp.zeros((m + 1, m), dtype)
         cs = jnp.zeros(m, dtype)
@@ -459,17 +492,17 @@ def gmres_dr(matvec: Callable, b, x0, pc: Callable, U=None, k: int = 16,
             w = mv(z)
             Z = Z.at[j].set(z)
             if have_U:
-                bcol = C @ w
+                bcol = ar(C @ w)
                 w = w - C.T @ bcol
                 B = B.at[:, j].set(bcol)
 
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
-            h = (V @ w) * mask
+            h = ar(V @ w) * mask
             w = w - V.T @ h
-            h2 = (V @ w) * mask
+            h2 = ar(V @ w) * mask
             w = w - V.T @ h2
             h = h + h2
-            hn = jnp.sqrt(jnp.sum(w * w))
+            hn = jnp.sqrt(ar(jnp.sum(w * w)))
             V = V.at[j + 1].set(w / jnp.maximum(hn, 1e-300))
             hcol = h.at[j + 1].set(hn)
 
@@ -550,7 +583,10 @@ def gmres_dr(matvec: Callable, b, x0, pc: Callable, U=None, k: int = 16,
     # amplifies wildly, and the f32 U-space correction x -= U (B y)
     # cancels catastrophically — measured: outer Newton 79 -> 143 steps.
     U_new = jnp.where(jnp.isfinite(U_new), U_new, 0.0)
-    Qh, _ = jnp.linalg.qr(U_new.T)                  # (n, k) orthonormal
-    U_new = Qh.T
+    if axis_name is None:
+        Qh, _ = jnp.linalg.qr(U_new.T)              # (n, k) orthonormal
+        U_new = Qh.T
+    else:
+        U_new, _ = cholqr(U_new)
     return (x.reshape(shape), iters, res / jnp.maximum(bnorm, 1e-300),
             U_new.reshape((k,) + shape))

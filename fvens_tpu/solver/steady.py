@@ -335,7 +335,7 @@ class SteadyBackwardEuler:
             # banded (shifted-slice) operators: the per-iteration slot
             # gathers become K contiguous rolls (solver/banded.py); block
             # reordering is paid once per Newton step
-            from .banded import banded_blocks, make_banded_bsgs
+            from .banded import banded_blocks, make_banded_bsgs, rest_blocks
             from .linear import block_jacobi_inverse
             Dinv_b = block_jacobi_inverse(jac.D)
             if self.lin.pc == "bjacobi":
@@ -343,7 +343,8 @@ class SteadyBackwardEuler:
             else:
                 DN = jnp.einsum("cij,ckjl->ckil", Dinv_b, jac.N)
                 pc = make_banded_bsgs(Dinv_b, banded_blocks(bl, DN),
-                                      bl.offsets, self.lin.pc_sweeps)
+                                      bl.offsets, self.lin.pc_sweeps,
+                                      bl=bl, DNr=rest_blocks(bl, DN))
         else:
             pc = make_preconditioner(lmesh, jac, self.lin.pc,
                                      self.lin.pc_sweeps,
@@ -351,33 +352,43 @@ class SteadyBackwardEuler:
                                      mg_opts=self._mg_opts(), ilu=ilu,
                                      ilu_setup=self.lin.ilu_setup_sweeps)
         if self.lin.matrix_free:
-            diag = (mesh.area / (cfl * dt) * mesh.cell_mask)[:, None]
-
             if self.lin.matrix_free_fd:
+                # the reference's finite-difference shell stays in the
+                # state's full precision (f32 differencing would lose the
+                # perturbation to truncation) — the parity path
+                diag = (mesh.area / (cfl * dt) * mesh.cell_mask)[:, None]
                 eps0 = self.lin.fd_eps
 
                 def matvec(x):
-                    # the reference's finite-difference shell: perturbation
-                    # eps/||x||, J x ~ (r(u + p x) - r(u))/p with r = -rhs
-                    # (alinalg.cpp:126,167-202)
+                    # perturbation eps/||x||, J x ~ (r(u + p x) - r(u))/p
+                    # with r = -rhs (alinalg.cpp:126,167-202)
                     p = eps0 / jnp.maximum(
                         jnp.sqrt((x * x).sum()), 1e-300)
                     rp = self.space.compute_residual(mesh, u + p * x,
                                                      False)[0]
                     return diag * x - (rp - rhs) / p
             else:
+                # exact JVP of -rhs plus the pseudo-time diagonal (tighter
+                # than the reference's FD approximation). Under mixed
+                # precision the JVP linearizes the f32 residual at the f32
+                # state: the Newton DIRECTION tolerates f32 like the
+                # assembled path (on TPU the f64 JVP would be emulated and
+                # dominate the step) — this is the exact-Newton outer axis
+                # at f32 Krylov cost
+                diag = (lmesh.area / (lcfl * ldt)
+                        * lmesh.cell_mask)[:, None]
+
                 def matvec(x):
-                    # exact JVP of -rhs plus the pseudo-time diagonal
-                    # (tighter than the reference's FD approximation)
                     _, tang = jax.jvp(
                         lambda v: self.space.compute_residual(
-                            mesh, v, False)[0],
-                        (u,), (x,))
+                            lmesh, v, False)[0],
+                        (lu,), (x,))
                     return diag * x - tang
         elif banded_on:
             from .banded import make_banded_matvec
             matvec = make_banded_matvec(jac.D, banded_blocks(bl, jac.N),
-                                        bl.offsets)
+                                        bl.offsets, bl=bl,
+                                        R=rest_blocks(bl, jac.N))
         else:
             matvec = make_bsr_matvec(lmesh, jac)   # fused operand built once
 

@@ -7,6 +7,8 @@ single-device residual cell for cell, and a sharded explicit solve must
 track the single-device one.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -266,6 +268,140 @@ def test_sharded_matrixfree_step_matches_single_device(fd):
     tol = 1e-6 if fd else 1e-7
     np.testing.assert_allclose(u1g, np.asarray(u1)[: cm.n_cells],
                                rtol=tol, atol=10 * tol * 1e-2)
+
+
+def test_banded_structure_parts_covers_all_slots():
+    """Per-part band analysis (banded_structure_parts): bands + rest lists
+    must cover every valid neighbour slot of every shard exactly once, with
+    ONE static offsets tuple shared across shards (SPMD)."""
+    from fvens_tpu.solver.banded import banded_structure_parts
+    ndev = len(jax.devices())
+    md = cylinder_omesh(32, 12)
+    bundle = partition_mesh(md, BCS, ndev)
+    m = bundle.mesh
+    nb = np.asarray(m.cell_nbrs)
+    mask = np.asarray(m.nbr_mask) > 0
+    bl = banded_structure_parts(nb, mask)
+    assert bl is not None, "structured O-mesh parts must be band-dominant"
+    covered = int(np.asarray(bl.valid).sum())
+    rest = int(np.asarray(bl.rest_valid).sum())
+    assert covered + rest == int(mask.sum())
+    # seam cells exist on every part, so the rest lists must be non-empty
+    # but small relative to the interior bands
+    assert 0 < rest < covered
+
+
+def test_sharded_banded_step_matches_gather():
+    """One distributed implicit step with the banded (shifted-slice)
+    encoding vs the distributed gather step: same partitioning, same
+    shard-local bsgs pc, tight linear tolerance — the banded operators
+    differ only in neighbour summation order, so the converged Newton
+    directions must agree."""
+    ndev = len(jax.devices())
+    md = cylinder_omesh(32, 12)
+    space = make_space(order2=True)
+    from fvens_tpu.config import (LinearSolverConfig, NonlinearUpdateConfig,
+                                  PseudoTimeConfig)
+    from fvens_tpu.dist.shard import DistributedBackwardEuler
+
+    bundle = partition_mesh(md, BCS, ndev)
+    nl = NonlinearUpdateConfig(scheme="full")
+    outs = {}
+    for banded in (False, True):
+        lin = LinearSolverConfig(restart=80, maxiter=80, rtol=1e-10,
+                                 rtol_adapt=False, pc="bsgs", pc_sweeps=4,
+                                 banded=banded)
+        sf = ShardedFlow(space=space, bundle=bundle, devices=jax.devices())
+        dbe = DistributedBackwardEuler(space=space, cfg=PseudoTimeConfig(),
+                                       lin=lin, nl=nl, flow=sf)
+        dmesh = sf.dist_mesh()
+        bl = dbe._banded(dmesh)
+        assert (bl is not None) == banded
+        us1, res, it = jax.jit(dbe._step)(
+            dmesh, sf.initial_state(), 50.0, 1e-10, bl=bl)
+        outs[banded] = (sf.gather_solution(np.asarray(us1)), float(res))
+    np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-12)
+    np.testing.assert_allclose(outs[True][0], outs[False][0],
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_sharded_warmstart_plumbing_matches_cold():
+    """Distributed warm start (lin.warm_start): a zero initial direction
+    must reproduce the cold step (x0 = 0 either way; only XLA program-level
+    re-association separates the two jitted programs, so the match is to
+    ~machine epsilon rather than bitwise), and the returned direction must
+    be finite — the controller-level carry is the single-chip code path,
+    inherited."""
+    ndev = len(jax.devices())
+    md = cylinder_omesh(24, 10)
+    space = make_space(order2=False)
+    from fvens_tpu.config import (LinearSolverConfig, NonlinearUpdateConfig,
+                                  PseudoTimeConfig)
+    from fvens_tpu.dist.shard import DistributedBackwardEuler
+
+    bundle = partition_mesh(md, BCS, ndev)
+    lin = LinearSolverConfig(restart=40, maxiter=40, rtol=1e-8,
+                             rtol_adapt=False, pc="bjacobi", warm_start=True)
+    sf = ShardedFlow(space=space, bundle=bundle, devices=jax.devices())
+    dbe = DistributedBackwardEuler(
+        space=space, cfg=PseudoTimeConfig(), lin=lin,
+        nl=NonlinearUpdateConfig(scheme="full"), flow=sf)
+    dmesh, us = sf.dist_mesh(), sf.initial_state()
+    u_cold, res_cold, it_cold = jax.jit(dbe._step)(dmesh, us, 50.0, 1e-8)
+    u_warm, res_warm, it_warm, du = jax.jit(
+        partial(dbe._step, return_du=True))(
+            dmesh, us, 50.0, 1e-8, du0=jnp.zeros_like(us))
+    assert np.isfinite(np.asarray(du)).all()
+    np.testing.assert_allclose(np.asarray(u_warm), np.asarray(u_cold),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float(res_warm), float(res_cold), rtol=1e-12)
+    assert int(it_warm) == int(it_cold)
+
+
+def test_sharded_deflated_step_matches_and_recycles():
+    """Distributed GCRO-DR (lin.deflation_k): the deflated step must reach
+    the same Newton direction as the plain step at tight linear tolerance,
+    harvest an orthonormal recycle space (psum'd Gram ~= I across shards),
+    and accept that space back on the next call."""
+    ndev = len(jax.devices())
+    md = cylinder_omesh(24, 10)
+    space = make_space(order2=False)
+    from fvens_tpu.config import (LinearSolverConfig, NonlinearUpdateConfig,
+                                  PseudoTimeConfig)
+    from fvens_tpu.dist.shard import DistributedBackwardEuler
+
+    bundle = partition_mesh(md, BCS, ndev)
+    nl = NonlinearUpdateConfig(scheme="full")
+    k = 6
+    lin0 = LinearSolverConfig(restart=60, maxiter=60, rtol=1e-10,
+                              rtol_adapt=False, pc="bjacobi")
+    lin1 = LinearSolverConfig(restart=60, maxiter=60, rtol=1e-10,
+                              rtol_adapt=False, pc="bjacobi", deflation_k=k)
+    sf = ShardedFlow(space=space, bundle=bundle, devices=jax.devices())
+    dmesh, us = sf.dist_mesh(), sf.initial_state()
+
+    be0 = DistributedBackwardEuler(space=space, cfg=PseudoTimeConfig(),
+                                   lin=lin0, nl=nl, flow=sf)
+    u_ref, res_ref, _ = jax.jit(be0._step)(dmesh, us, 50.0, 1e-10)
+
+    be1 = DistributedBackwardEuler(space=space, cfg=PseudoTimeConfig(),
+                                   lin=lin1, nl=nl, flow=sf)
+    step1 = jax.jit(partial(be1._step, return_defl=True))
+    u1, res1, it1, U1 = step1(dmesh, us, 50.0, 1e-10)
+    assert np.isfinite(np.asarray(U1)).all()
+    # orthonormal across the sharded axis: sum_p U1[p] @ U1[p].T ~= I
+    Un = np.asarray(U1).astype(np.float64)         # (D, k, NC, V)
+    flat = Un.reshape(Un.shape[0], k, -1)
+    gram = sum(flat[p] @ flat[p].T for p in range(Un.shape[0]))
+    np.testing.assert_allclose(gram, np.eye(k), atol=1e-6)
+    np.testing.assert_allclose(float(res1), float(res_ref), rtol=1e-12)
+    np.testing.assert_allclose(sf.gather_solution(np.asarray(u1)),
+                               sf.gather_solution(np.asarray(u_ref)),
+                               rtol=1e-7, atol=1e-9)
+    # recycle round trip: the harvested space feeds the next step
+    u2, res2, it2, U2 = step1(dmesh, u1, 50.0, 1e-10, U0=U1)
+    assert np.isfinite(np.asarray(u2)).all()
+    assert np.isfinite(np.asarray(U2)).all()
 
 
 @pytest.mark.slow
