@@ -117,7 +117,7 @@ def utilization(cells: int, steps: int, lin_iters: float, sweeps: int,
 
 
 def load_cpu_baseline():
-    """Read BASELINE_CPU.json (+ optional BASELINE_CPU_BOUND.json).
+    """Read BASELINE_CPU.json (+ optional BASELINE_FVENS_EST.json).
 
     Returns (record, stale): record holds cpu_baseline_wall (f64 stand-in),
     cpu_best_wall (best CPU config) and optionally t_bound_s; stale=True
