@@ -399,19 +399,19 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
                 # contiguous rolls, seam/halo couplings through the compact
                 # rest scatter (solver/banded.py) — row-by-row equal to the
                 # gather operators up to neighbour summation order
-                from ..solver.banded import (banded_blocks, make_banded_bsgs,
-                                             rest_blocks)
+                from ..solver.banded import (banded_dn_blocks,
+                                             make_banded_bsgs,
+                                             rest_dn_blocks)
                 from ..solver.linear import block_jacobi_inverse
                 bl_loc = jax.tree_util.tree_map(lambda x: x[0], bl_st)
                 Dinv_b = block_jacobi_inverse(jac.D)
                 if lin.pc == "bjacobi":
                     pc = lambda v: jnp.einsum("cij,cj->ci", Dinv_b, v)
                 else:
-                    DN = jnp.einsum("cij,ckjl->ckil", Dinv_b, jac.N)
-                    pc = make_banded_bsgs(Dinv_b, banded_blocks(bl_loc, DN),
-                                          bl_loc.offsets, lin.pc_sweeps,
-                                          bl=bl_loc,
-                                          DNr=rest_blocks(bl_loc, DN))
+                    pc = make_banded_bsgs(
+                        Dinv_b, banded_dn_blocks(bl_loc, Dinv_b, jac.N),
+                        bl_loc.offsets, lin.pc_sweeps, bl=bl_loc,
+                        DNr=rest_dn_blocks(bl_loc, Dinv_b, jac.N))
             else:
                 pc = make_preconditioner(lmesh_loc, jac, lin.pc,
                                          lin.pc_sweeps, ilu=ilu_loc,
@@ -451,7 +451,8 @@ class DistributedBackwardEuler(SteadyBackwardEuler):
                             (u_loc,), (xh,))
                         return (diag * x - tang) * fmask
             elif banded_on:
-                from ..solver.banded import make_banded_matvec
+                from ..solver.banded import (banded_blocks,
+                                             make_banded_matvec, rest_blocks)
                 mv_loc = make_banded_matvec(
                     jac.D, banded_blocks(bl_loc, jac.N), bl_loc.offsets,
                     bl=bl_loc, R=rest_blocks(bl_loc, jac.N))

@@ -183,12 +183,38 @@ def banded_structure_parts(nb, mask, max_bands: int = 8,
 
 def banded_blocks(bl: BandedStructure, N):
     """Reorder per-slot neighbour blocks (NC, S, V, V) into per-band blocks
-    (K, NC, V, V): B[k, c] = N[c, slot_sel[k, c]] (zero where the band is
-    absent). One small gather along the slot axis, paid once per Newton
-    step — it replaces one gather PER KRYLOV ITERATION."""
-    sel = bl.slot_sel[..., None, None, None]          # (K, NC, 1, 1, 1)
-    B = jnp.take_along_axis(N[None], sel, axis=2)[:, :, 0]
-    return B * bl.valid[..., None, None].astype(N.dtype)
+    (K, V, V, NC): B[k, :, :, c] = N[c, slot_sel[k, c]] (zero where the
+    band is absent). Paid once per Newton step — it replaces a gather PER
+    KRYLOV ITERATION.
+
+    Layout + lowering are deliberate: the cell axis is LAST so the tiny
+    V x V block dims never land in XLA's (sublane, lane) tile. A
+    (K, NC, V, V) take_along_axis here made XLA pick a {minor: V, V}
+    layout padded 4 -> 128 in lanes — a 32x HBM expansion that OOM'd the
+    819.2k-cell compile (16 GB HBM) and silently wasted bandwidth at
+    204.8k. The slot select is a masked sum over the S (<= ~5) slots
+    instead of a gather: S small streamed passes, no scatter/gather at
+    all, NC always in lanes."""
+    S = N.shape[1]
+    Nt = jnp.moveaxis(N, 0, -1)                       # (S, V, V, NC)
+    vm = bl.valid.astype(N.dtype)                     # (K, NC)
+    out = None
+    for s in range(S):
+        m = jnp.where(bl.slot_sel == s, vm, 0)        # (K, NC)
+        term = m[:, None, None, :] * Nt[s][None]      # (K, V, V, NC)
+        out = term if out is None else out + term
+    return out
+
+
+def banded_dn_blocks(bl: BandedStructure, Dinv, N):
+    """Band-reordered (K, V, V, NC) blocks of D^-1 N for the banded bsgs
+    sweeps, WITHOUT materializing the (NC, S, V, V) product (same layout
+    rationale as banded_blocks: the full-size intermediate drew a 32x
+    lane-padded layout from XLA). Select bands from N first (K <= S), then
+    multiply by D^-1 in the NC-minor layout."""
+    Bt = banded_blocks(bl, N)                         # (K, V, V, NC)
+    Dt = jnp.moveaxis(Dinv, 0, -1)                    # (V, V, NC)
+    return jnp.einsum("ijc,kjlc->kilc", Dt, Bt)
 
 
 def rest_blocks(bl: BandedStructure, N):
@@ -202,6 +228,16 @@ def rest_blocks(bl: BandedStructure, N):
     return R * bl.rest_valid[:, None, None].astype(N.dtype)
 
 
+def rest_dn_blocks(bl: BandedStructure, Dinv, N):
+    """rest_blocks of D^-1 N, computed on the compact rest list only
+    (NR blocks) so the full-size product is never formed."""
+    R = rest_blocks(bl, N)
+    if R is None:
+        return None
+    c = jnp.minimum(bl.rest_cell, N.shape[0] - 1)
+    return jnp.einsum("rij,rjl->ril", Dinv[c], R)
+
+
 def _rest_apply(bl: BandedStructure, R, x, y, sign=1.0):
     """y += sign * scatter-add of R_r x[rest_nbr_r] at rows rest_cell_r.
     Padding rows carry rest_cell == NC: dropped by the scatter."""
@@ -209,42 +245,52 @@ def _rest_apply(bl: BandedStructure, R, x, y, sign=1.0):
     return y.at[bl.rest_cell].add(sign * contrib, mode="drop")
 
 
-def make_banded_matvec(D, B, offsets, bl=None, R=None):
+def make_banded_matvec(D, Bt, offsets, bl=None, R=None):
     """mv(x) = D x + sum_k B_k (x shifted by d_k) [+ rest scatter]: K
-    contiguous rolls + batched 4x4 einsums instead of the per-iteration
-    (NC, S) index gather. Exactly equivalent to the slot-gather matvec up
-    to neighbour summation order (valid-masked blocks are zero; rolled
-    wrap-around values only ever multiply zeros). When the structure
-    carries a rest list (partitioned meshes: seam cells point at halo
-    slots), those few blocks are applied as one compact gather +
-    scatter-add (R = rest_blocks(bl, N))."""
+    contiguous rolls + lane-batched 4x4 einsums instead of the
+    per-iteration (NC, S) index gather. The whole apply runs transposed —
+    vectors as (V, NC), blocks as (K, V, V, NC) from banded_blocks — so
+    the cell axis stays in XLA's lane dimension and the V x V block dims
+    are never tile-padded (see banded_blocks). Exactly equivalent to the
+    slot-gather matvec up to neighbour summation order (valid-masked
+    blocks are zero; rolled wrap-around values only ever multiply zeros).
+    When the structure carries a rest list (partitioned meshes: seam cells
+    point at halo slots), those few blocks are applied as one compact
+    gather + scatter-add (R = rest_blocks(bl, N))."""
+    Dt = jnp.moveaxis(D, 0, -1)                       # (V, V, NC)
+
     def mv(x):
-        y = jnp.einsum("cij,cj->ci", D, x)
+        xt = x.T                                      # (V, NC)
+        yt = jnp.einsum("ijc,jc->ic", Dt, xt)
         for k, d in enumerate(offsets):
-            y = y + jnp.einsum("cij,cj->ci", B[k], jnp.roll(x, -d, axis=0))
+            yt = yt + jnp.einsum("ijc,jc->ic", Bt[k],
+                                 jnp.roll(xt, -d, axis=1))
+        y = yt.T
         if R is not None:
             y = _rest_apply(bl, R, x, y)
         return y
     return mv
 
 
-def make_banded_bsgs(Dinv, DNb, offsets, sweeps: int, bl=None, DNr=None):
+def make_banded_bsgs(Dinv, DNbt, offsets, sweeps: int, bl=None, DNr=None):
     """Banded form of the pc='bsgs' damped block-Jacobi sweeps
     (solver/linear.py make_preconditioner): z' = D^-1 v - (D^-1 N) z_nbr
-    with the neighbour product as shifted slices. DNb = banded_blocks of
-    (D^-1 N); DNr = rest_blocks of the same (partitioned meshes)."""
-    apply_dinv = lambda v: jnp.einsum("cij,cj->ci", Dinv, v)
+    with the neighbour product as shifted slices, in the same transposed
+    (V, NC) lane layout as make_banded_matvec. DNbt = banded_dn_blocks;
+    DNr = rest_dn_blocks (partitioned meshes; the transposes around the
+    compact rest scatter are paid only there)."""
+    Dt = jnp.moveaxis(Dinv, 0, -1)                    # (V, V, NC)
 
     def pc(v):
-        dv = apply_dinv(v)
-        z = dv
+        dvt = jnp.einsum("ijc,jc->ic", Dt, v.T)       # (V, NC)
+        z = dvt
         for _ in range(sweeps):
-            acc = dv
+            acc = dvt
             for k, d in enumerate(offsets):
-                acc = acc - jnp.einsum("cij,cj->ci", DNb[k],
-                                       jnp.roll(z, -d, axis=0))
+                acc = acc - jnp.einsum("ijc,jc->ic", DNbt[k],
+                                       jnp.roll(z, -d, axis=1))
             if DNr is not None:
-                acc = _rest_apply(bl, DNr, z, acc, sign=-1.0)
+                acc = _rest_apply(bl, DNr, z.T, acc.T, sign=-1.0).T
             z = acc
-        return z
+        return z.T
     return pc

@@ -335,16 +335,17 @@ class SteadyBackwardEuler:
             # banded (shifted-slice) operators: the per-iteration slot
             # gathers become K contiguous rolls (solver/banded.py); block
             # reordering is paid once per Newton step
-            from .banded import banded_blocks, make_banded_bsgs, rest_blocks
+            from .banded import (banded_dn_blocks, make_banded_bsgs,
+                                 rest_dn_blocks)
             from .linear import block_jacobi_inverse
             Dinv_b = block_jacobi_inverse(jac.D)
             if self.lin.pc == "bjacobi":
                 pc = lambda v: jnp.einsum("cij,cj->ci", Dinv_b, v)
             else:
-                DN = jnp.einsum("cij,ckjl->ckil", Dinv_b, jac.N)
-                pc = make_banded_bsgs(Dinv_b, banded_blocks(bl, DN),
-                                      bl.offsets, self.lin.pc_sweeps,
-                                      bl=bl, DNr=rest_blocks(bl, DN))
+                pc = make_banded_bsgs(
+                    Dinv_b, banded_dn_blocks(bl, Dinv_b, jac.N),
+                    bl.offsets, self.lin.pc_sweeps,
+                    bl=bl, DNr=rest_dn_blocks(bl, Dinv_b, jac.N))
         else:
             pc = make_preconditioner(lmesh, jac, self.lin.pc,
                                      self.lin.pc_sweeps,
@@ -385,7 +386,8 @@ class SteadyBackwardEuler:
                         (lu,), (x,))
                     return diag * x - tang
         elif banded_on:
-            from .banded import make_banded_matvec
+            from .banded import (banded_blocks, make_banded_matvec,
+                                 rest_blocks)
             matvec = make_banded_matvec(jac.D, banded_blocks(bl, jac.N),
                                         bl.offsets, bl=bl,
                                         R=rest_blocks(bl, jac.N))

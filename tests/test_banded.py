@@ -20,8 +20,9 @@ from fvens_tpu.mesh import compile_mesh
 from fvens_tpu.mesh.meshgen import cylinder_omesh
 from fvens_tpu.physics import GasPhysics
 from fvens_tpu.solver import jacobian as jacmod
-from fvens_tpu.solver.banded import (banded_blocks, banded_structure,
-                                     make_banded_bsgs, make_banded_matvec)
+from fvens_tpu.solver.banded import (banded_blocks, banded_dn_blocks,
+                                     banded_structure, make_banded_bsgs,
+                                     make_banded_matvec)
 from fvens_tpu.solver.linear import (block_jacobi_inverse, bsr_matvec,
                                      make_preconditioner)
 from fvens_tpu.solver.steady import SteadyBackwardEuler
@@ -97,8 +98,8 @@ def test_banded_bsgs_matches_gather():
     v = jax.random.normal(jax.random.PRNGKey(2), (cm.NC, 4), jnp.float64)
     pc_ref = make_preconditioner(cm, jac, "bsgs", sweeps=4)
     Dinv = block_jacobi_inverse(jac.D)
-    DN = jnp.einsum("cij,ckjl->ckil", Dinv, jac.N)
-    pc_b = make_banded_bsgs(Dinv, banded_blocks(bl, DN), bl.offsets, 4)
+    pc_b = make_banded_bsgs(Dinv, banded_dn_blocks(bl, Dinv, jac.N),
+                            bl.offsets, 4)
     np.testing.assert_allclose(np.asarray(pc_b(v)), np.asarray(pc_ref(v)),
                                rtol=1e-12, atol=1e-12)
 
