@@ -71,40 +71,50 @@ def main() -> int:
         rhs, jac = setup(mesh32, u32)
         jax.block_until_ready(rhs)
 
-        mv = make_banded_matvec(jac.D, banded_blocks(bl, jac.N), bl.offsets)
-        Dinv = block_jacobi_inverse(jac.D)
-        pc = make_banded_bsgs(Dinv, banded_dn_blocks(bl, Dinv, jac.N),
-                              bl.offsets, args.sweeps)
+        # big operands enter as jit ARGUMENTS, not closures: closed-over
+        # constants are embedded in the compile request, and at 819.2k
+        # cells the 315 MB banded operand blows the axon remote-compile
+        # body limit (HTTP 413) — same rule as mesh-as-jit-argument in
+        # the real solver
+        Bt = jax.jit(banded_blocks)(bl, jac.N)
+        Dinv = jax.jit(block_jacobi_inverse)(jac.D)
+        DNbt = jax.jit(banded_dn_blocks)(bl, Dinv, jac.N)
+        offsets = bl.offsets
 
-        def reps_program(f):
-            @jax.jit
-            def run(x):
-                return jax.lax.fori_loop(0, args.reps,
-                                         lambda i, v: f(v), x)
-            return run
+        @jax.jit
+        def run_mv(x, D, B):
+            mv = make_banded_matvec(D, B, offsets)
+            return jax.lax.fori_loop(0, args.reps, lambda i, v: mv(v), x)
+
+        @jax.jit
+        def run_pc(x, Di, DN):
+            pc = make_banded_bsgs(Di, DN, offsets, args.sweeps)
+            return jax.lax.fori_loop(0, args.reps, lambda i, v: pc(v), x)
 
         out = {"size": size, "cells": mesh.n_cells, "reps": args.reps,
                "restart": args.restart, "sweeps": args.sweeps,
                "platform": jax.devices()[0].platform}
-        for name, f in (("matvec", mv), ("pc", pc)):
-            run = reps_program(f)
-            x = rhs
-            jax.block_until_ready(run(x))          # compile
+        for name, run, ops in (("matvec", run_mv, (jac.D, Bt)),
+                               ("pc", run_pc, (Dinv, DNbt))):
+            jax.block_until_ready(run(rhs, *ops))          # compile
             t0 = time.perf_counter()
-            jax.block_until_ready(run(x))
+            jax.block_until_ready(run(rhs, *ops))
             out[f"{name}_ms_per_apply"] = (
                 (time.perf_counter() - t0) / args.reps * 1e3)
 
         @jax.jit
-        def one_solve(b):
+        def one_solve(b, D, B, Di, DN):
+            mv = make_banded_matvec(D, B, offsets)
+            pc = make_banded_bsgs(Di, DN, offsets, args.sweeps)
             x, iters, relres = gmres(mv, b, jnp.zeros_like(b), pc,
                                      restart=args.restart,
                                      maxiter=args.restart, rtol=1e-30)
             return x, iters, relres
 
-        jax.block_until_ready(one_solve(rhs))      # compile
+        ops = (jac.D, Bt, Dinv, DNbt)
+        jax.block_until_ready(one_solve(rhs, *ops))      # compile
         t0 = time.perf_counter()
-        x, iters, relres = one_solve(rhs)
+        x, iters, relres = one_solve(rhs, *ops)
         jax.block_until_ready(x)
         gm = time.perf_counter() - t0
         out["gmres_iters"] = int(iters)
