@@ -372,24 +372,28 @@ def main() -> int:
         "metric": "wallclock_to_abs1e-10_visc_naca0012",
         "value": wall,
         "unit": "s",
-        "vs_baseline": (base["cpu_baseline_wall"] / TARGET_FACTOR) / wall,
         "steps": steps,
         "lin_iters": lin_iters,
         "cells": mesh.n_cells,
         "cell_updates_per_sec": rate,
-        "cpu_baseline_wall": base["cpu_baseline_wall"],
-        "cpu_baseline_rev": base.get("git_rev", "unknown")[:12],
     }
-    if "cpu_best_wall" in base:
-        out["vs_cpu_best"] = (base["cpu_best_wall"] / TARGET_FACTOR) / wall
+    # the HONEST ratios lead the record (VERDICT r4 next #5): measured
+    # native-C++ reference linear stack on the exported real Jacobians,
+    # scaled by perfect 64-core socket parallelism (a LOWER bound on true
+    # FVENS wall -> vs_fvens_estimate is an upper bound on the 10x-bar
+    # ratio; model in scripts/cpu_fvens_estimate.py)
     if base.get("t_fvens_socket_s"):
-        # measured native-C++ reference linear stack on the exported real
-        # Jacobians, scaled by perfect 64-core socket parallelism (a LOWER
-        # bound on true FVENS wall -> this ratio is an upper bound;
-        # model written down in scripts/cpu_fvens_estimate.py)
         out["vs_fvens_estimate"] = (base["t_fvens_socket_s"]
                                     / TARGET_FACTOR) / wall
         out["vs_fvens_1core"] = base["t_fvens_1core_s"] / wall
+    # vs_baseline: the labelled stand-in (this repo's own JAX solver on the
+    # 1-vCPU build host, f64, same stopping rule) — kept for round-to-round
+    # comparability, NOT the native-FVENS anchor
+    out["vs_baseline"] = (base["cpu_baseline_wall"] / TARGET_FACTOR) / wall
+    out["cpu_baseline_wall"] = base["cpu_baseline_wall"]
+    out["cpu_baseline_rev"] = base.get("git_rev", "unknown")[:12]
+    if "cpu_best_wall" in base:
+        out["vs_cpu_best"] = (base["cpu_best_wall"] / TARGET_FACTOR) / wall
     # utilization accounting (VERDICT r3 next #3): analytic useful-work
     # flop/byte model over the measured wall, vs v5e peaks
     out.update(utilization(mesh.n_cells, steps, lin_iters, 6, wall))
@@ -414,6 +418,11 @@ def main() -> int:
                                        "measured_at")
                  if k in r}
                 for r in runs]
+    # self-contained committed evidence: the driver records only the tail
+    # of stdout, which truncated the round-4 headline (VERDICT r4 weak #5/
+    # ADVICE r4) — the full record also lands in BENCH_SELF.json
+    with open(os.path.join(_ROOT, "BENCH_SELF.json"), "w") as f:
+        json.dump(out, f, indent=1)
     print(json.dumps(out))
     return 0
 

@@ -56,11 +56,17 @@ class SteadyFlowCase:
     def _make_solver(self, space, pt, checkpoint: bool = False):
         if pt.stepping == "explicit":
             return SteadyForwardEuler(space, pt)
+        fn = None
+        if checkpoint and self.cfg.functionals_every and self.cfg.wall_markers:
+            from ..output import make_functionals
+            fn = make_functionals(space, self.cfg.wall_markers)
         return SteadyBackwardEuler(
             space, pt, self.cfg.linear, self.cfg.nl_update,
             checkpoint_path=(self.cfg.checkpoint_path or None) if checkpoint
             else None,
-            checkpoint_every=self.cfg.checkpoint_every)
+            checkpoint_every=self.cfg.checkpoint_every,
+            functional_fn=fn,
+            functional_every=self.cfg.functionals_every)
 
     def execute_starter(self, mesh, u, log_every: int = 0):
         """First-order startup; tolerance failures are swallowed

@@ -35,6 +35,11 @@ def main(argv=None) -> int:
                     help="write volume data (x y rho vx vy p T Mach) here")
     ap.add_argument("--history", default=None,
                     help="write convergence history (JSONL) here")
+    ap.add_argument("--functionals_every", type=int, default=0,
+                    help="log device-evaluated functionals "
+                         "(entropy/CL/CDp/CDsf) to the history every N "
+                         "steps (0 = off); the evaluation runs fully on "
+                         "device and joins the step's fused fetch")
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint/resume the main solve at this path")
     ap.add_argument("--mesh_reorder", default="none",
@@ -86,6 +91,8 @@ def main(argv=None) -> int:
               + (f", reorder={reorder}" if reorder else ""))
     if args.checkpoint:
         cfg = _dc.replace(cfg, checkpoint_path=args.checkpoint)
+    if args.functionals_every:
+        cfg = _dc.replace(cfg, functionals_every=args.functionals_every)
     if args.pipeline:
         cfg = _dc.replace(cfg,
                           main=_dc.replace(cfg.main, pipeline=True),

@@ -258,6 +258,8 @@ class FlowCaseConfig:
     mesh_file: str = ""
     checkpoint_path: str = ""          # main-solve checkpoint/resume file
     checkpoint_every: int = 50
+    functionals_every: int = 0         # log device-evaluated functionals
+    #                                    (entropy/CL/CDp/CDsf) every N steps
     # unsteady (time { simulation_type unsteady }, controlparser.cpp:165-177)
     sim_type: str = "steady"           # steady | unsteady
     final_time: float = 0.0

@@ -1,4 +1,6 @@
-from .partition import partition_mesh, ShardedMeshBundle
+from .partition import (partition_mesh, halo_schedule_stats,
+                        ShardedMeshBundle)
 from .shard import ShardedFlow
 
-__all__ = ["partition_mesh", "ShardedMeshBundle", "ShardedFlow"]
+__all__ = ["partition_mesh", "halo_schedule_stats", "ShardedMeshBundle",
+           "ShardedFlow"]

@@ -67,6 +67,9 @@ class ShardedMeshBundle:
     n_cells_global: int
     max_send: int
     max_halo: int
+    cut_faces: int = 0            # partition edge cut (quality metric)
+    halo_cells: int = 0           # total ghost cells over all parts (the
+    #                               exact per-exchange comm volume in cells)
 
 
 def greedy_partition(esuel: np.ndarray, nfael: np.ndarray, nparts: int
@@ -446,7 +449,37 @@ def partition_mesh(md: MeshData, bcs, nparts: int, dtype=jnp.float64,
         pp_perms=pp_perms,
         own_counts=jnp.asarray(own_counts), own_gid=jnp.asarray(own_gid),
         n_parts=nparts, n_cells_global=nelem, max_send=max_send,
-        max_halo=max_halo)
+        max_halo=max_halo,
+        cut_faces=edge_cut(topo.esuel, np.asarray(topo.nfael), part),
+        halo_cells=int(sum(pp[1].size for pp in per_part)))
+
+
+def halo_schedule_stats(bundle: ShardedMeshBundle, value_bytes: int = 4,
+                        nvars: int = 4) -> dict:
+    """Comm-volume accounting of the edge-coloured ppermute schedule
+    (VERDICT r4 next #8): per-exchange message count and payload bytes,
+    cross-checked against the partition's halo/edge-cut. The scheduled
+    send volume must equal the total halo size EXACTLY — every ghost cell
+    is delivered by exactly one (owner -> user) message per exchange round
+    set (the reference's L2TraceVector pairs each shared face once,
+    tracevector.cpp:214-320)."""
+    recv = np.asarray(bundle.pp_recv)            # (D, R, max_pair)
+    valid = recv < bundle.mesh.NC
+    cells = int(valid.sum())
+    msgs = int(valid.any(axis=2).sum())          # (device, round) pairs used
+    halo_valid = int((np.asarray(bundle.halo_slots)
+                      < bundle.mesh.NC).sum())
+    assert cells == halo_valid == bundle.halo_cells, (
+        f"scheduled sends {cells} != halo cells "
+        f"{halo_valid}/{bundle.halo_cells}")
+    per_dev = valid.sum(axis=(1, 2))
+    return {"rounds": int(recv.shape[1]),
+            "messages_per_exchange": msgs,
+            "halo_cells": cells,
+            "cut_faces": int(bundle.cut_faces),
+            "bytes_per_exchange": cells * nvars * value_bytes,
+            "max_device_cells": int(per_dev.max()),
+            "min_device_cells": int(per_dev.min())}
 
 
 def _neighbor_schedule(per_part, part, g2l_list, nparts: int, NCl: int):

@@ -32,10 +32,14 @@ class ConvergenceLogger:
                   " lin-its |     cfl | wall(s)")
 
     def log(self, step: int, relres: float, absres: float,
-            lin_iters: int = 0, cfl: float = 0.0) -> None:
+            lin_iters: int = 0, cfl: float = 0.0, **extras) -> None:
+        """extras (e.g. entropy/CL/CDp/CDsf from a device functional
+        evaluator, solver/steady.py functional_every) are merged into the
+        JSONL record."""
         wall = time.perf_counter() - self._t0
         rec = {"step": step, "relres": relres, "absres": absres,
                "lin_iters": lin_iters, "cfl": cfl, "wall_s": wall}
+        rec.update(extras)
         if self._f:
             self._f.write(json.dumps(rec) + "\n")
             self._f.flush()

@@ -206,15 +206,29 @@ def banded_blocks(bl: BandedStructure, N):
     return out
 
 
+def _block_mv(Bt, xt):
+    """y[i,c] = sum_j Bt[i,j,c] x[j,c] as a broadcast multiply-reduce.
+
+    Deliberately NOT an einsum: XLA lowers the c-batched 4x4 dot_general by
+    transposing the operand to batch-major, i.e. a {minor: V, V} layout
+    padded (4, 4) -> (8, 128) tiles — a 64x HBM blowup (the round-4
+    cell-minor autopsy's failure mode, which resurfaced in the standalone
+    banded programs and OOM'd the 819.2k probe). The multiply-reduce stays
+    in the NC-lane layout and fuses."""
+    return (Bt * xt[None, :, :]).sum(axis=1)
+
+
 def banded_dn_blocks(bl: BandedStructure, Dinv, N):
     """Band-reordered (K, V, V, NC) blocks of D^-1 N for the banded bsgs
     sweeps, WITHOUT materializing the (NC, S, V, V) product (same layout
     rationale as banded_blocks: the full-size intermediate drew a 32x
     lane-padded layout from XLA). Select bands from N first (K <= S), then
-    multiply by D^-1 in the NC-minor layout."""
+    multiply by D^-1 in the NC-minor layout (broadcast-sum, not einsum:
+    see _block_mv)."""
     Bt = banded_blocks(bl, N)                         # (K, V, V, NC)
     Dt = jnp.moveaxis(Dinv, 0, -1)                    # (V, V, NC)
-    return jnp.einsum("ijc,kjlc->kilc", Dt, Bt)
+    # out[k,i,l,c] = sum_j Dt[i,j,c] Bt[k,j,l,c]
+    return (Dt[None, :, :, None, :] * Bt[:, None, :, :, :]).sum(axis=2)
 
 
 def rest_blocks(bl: BandedStructure, N):
@@ -245,26 +259,57 @@ def _rest_apply(bl: BandedStructure, R, x, y, sign=1.0):
     return y.at[bl.rest_cell].add(sign * contrib, mode="drop")
 
 
+def _norm_offsets(offsets, NC):
+    """Normalize roll offsets into (-NC/2, NC/2]: jnp.roll is modular, so
+    the O-mesh seam offsets +-(NC - nj) are really just -+nj — this is what
+    keeps the shifted-window padding small (P = max|d| <= nj, not ~NC)."""
+    out = []
+    for d in offsets:
+        dm = d % NC
+        if dm > NC // 2:
+            dm -= NC
+        out.append(dm)
+    return tuple(out)
+
+
+def _shifted_windows(xt, dms, P):
+    """All K shifts of xt (V, NC) as STATIC slices of one wrap-padded copy
+    (zp[:, j] = xt[:, (j - P) mod NC], so zp[:, P+d : P+d+NC] ==
+    jnp.roll(xt, -d)). One (V, NC+2P) concat per apply replaces K full
+    roll materializations — rolls lower to slice+concat copies of the
+    whole vector, which doubled the HBM traffic of every banded sweep
+    (docs/BENCH_NOTES.md round 5); static slices fuse into the consuming
+    einsums."""
+    NC = xt.shape[1]
+    if P == 0:
+        return [xt for _ in dms]
+    zp = jnp.concatenate([xt[:, NC - P:], xt, xt[:, :P]], axis=1)
+    return [zp[:, P + d:P + d + NC] for d in dms]
+
+
 def make_banded_matvec(D, Bt, offsets, bl=None, R=None):
     """mv(x) = D x + sum_k B_k (x shifted by d_k) [+ rest scatter]: K
-    contiguous rolls + lane-batched 4x4 einsums instead of the
+    shifted static slices + lane-batched 4x4 einsums instead of the
     per-iteration (NC, S) index gather. The whole apply runs transposed —
     vectors as (V, NC), blocks as (K, V, V, NC) from banded_blocks — so
     the cell axis stays in XLA's lane dimension and the V x V block dims
     are never tile-padded (see banded_blocks). Exactly equivalent to the
     slot-gather matvec up to neighbour summation order (valid-masked
-    blocks are zero; rolled wrap-around values only ever multiply zeros).
-    When the structure carries a rest list (partitioned meshes: seam cells
-    point at halo slots), those few blocks are applied as one compact
-    gather + scatter-add (R = rest_blocks(bl, N))."""
+    blocks are zero; wrapped-around window values only ever multiply
+    zeros). When the structure carries a rest list (partitioned meshes:
+    seam cells point at halo slots), those few blocks are applied as one
+    compact gather + scatter-add (R = rest_blocks(bl, N))."""
     Dt = jnp.moveaxis(D, 0, -1)                       # (V, V, NC)
+    NC = D.shape[0]
+    dms = _norm_offsets(offsets, NC)
+    P = max((abs(d) for d in dms), default=0)
 
     def mv(x):
         xt = x.T                                      # (V, NC)
-        yt = jnp.einsum("ijc,jc->ic", Dt, xt)
-        for k, d in enumerate(offsets):
-            yt = yt + jnp.einsum("ijc,jc->ic", Bt[k],
-                                 jnp.roll(xt, -d, axis=1))
+        win = _shifted_windows(xt, dms, P)
+        yt = _block_mv(Dt, xt)
+        for k in range(len(dms)):
+            yt = yt + _block_mv(Bt[k], win[k])
         y = yt.T
         if R is not None:
             y = _rest_apply(bl, R, x, y)
@@ -275,20 +320,24 @@ def make_banded_matvec(D, Bt, offsets, bl=None, R=None):
 def make_banded_bsgs(Dinv, DNbt, offsets, sweeps: int, bl=None, DNr=None):
     """Banded form of the pc='bsgs' damped block-Jacobi sweeps
     (solver/linear.py make_preconditioner): z' = D^-1 v - (D^-1 N) z_nbr
-    with the neighbour product as shifted slices, in the same transposed
-    (V, NC) lane layout as make_banded_matvec. DNbt = banded_dn_blocks;
-    DNr = rest_dn_blocks (partitioned meshes; the transposes around the
-    compact rest scatter are paid only there)."""
+    with the neighbour product as shifted static slices (see
+    _shifted_windows), in the same transposed (V, NC) lane layout as
+    make_banded_matvec. DNbt = banded_dn_blocks; DNr = rest_dn_blocks
+    (partitioned meshes; the transposes around the compact rest scatter
+    are paid only there)."""
     Dt = jnp.moveaxis(Dinv, 0, -1)                    # (V, V, NC)
+    NC = Dinv.shape[0]
+    dms = _norm_offsets(offsets, NC)
+    P = max((abs(d) for d in dms), default=0)
 
     def pc(v):
-        dvt = jnp.einsum("ijc,jc->ic", Dt, v.T)       # (V, NC)
+        dvt = _block_mv(Dt, v.T)                      # (V, NC)
         z = dvt
         for _ in range(sweeps):
+            win = _shifted_windows(z, dms, P)
             acc = dvt
-            for k, d in enumerate(offsets):
-                acc = acc - jnp.einsum("ijc,jc->ic", DNbt[k],
-                                       jnp.roll(z, -d, axis=1))
+            for k in range(len(dms)):
+                acc = acc - _block_mv(DNbt[k], win[k])
             if DNr is not None:
                 acc = _rest_apply(bl, DNr, z.T, acc.T, sign=-1.0).T
             z = acc

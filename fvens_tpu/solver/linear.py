@@ -255,9 +255,59 @@ def make_colored_sgs(mesh, jac: BlockJacobian, Dinv, blocks,
     return pc
 
 
+# auto-switch: above this many local vector elements the gmres basis work
+# runs the blocked-MGS low-traffic path (see gmres docstring); below it the
+# classic CGS2 path is kept bit-identical (it protects the 13k-cell bench
+# trajectory, and at small n the blocked loop's serialized row-block matmuls
+# cost more dispatch than they save in HBM reads — measured,
+# docs/BENCH_NOTES.md round 5)
+_BLOCKED_N_THRESHOLD = 262_144
+_ROW_BLOCK = 8           # f32 sublane tile height
+
+
+def _mgs_pass(V, w, rows, ar):
+    """One blocked modified-Gram-Schmidt pass of w against V[:rows].
+
+    Reads only ceil(rows/8)*8 basis rows (rows is traced; the classic CGS2
+    passes read all m+1 rows through a zero mask — at FGMRES(90) that is
+    ~2x the traffic actually needed, and the basis reads dominate the
+    per-iteration cost at >=200k cells; docs/BENCH_NOTES.md round 5).
+    Each 8-row block is projected out of w before the next block is read
+    (block-MGS), which is numerically at least as strong as one classical
+    pass. Rows beyond `rows`-1 are still zero in V, so the rounded-up tail
+    projects nothing. Returns (h, w_new) with h zero beyond rows-1."""
+    B = _ROW_BLOCK
+    mpad, n = V.shape
+    nblk = (rows + B - 1) // B
+
+    def blk(i, carry):
+        h, wv = carry
+        Vb = jax.lax.dynamic_slice(V, (i * B, 0), (B, n))
+        hb = ar(Vb @ wv)
+        wv = wv - hb @ Vb
+        return jax.lax.dynamic_update_slice(h, hb, (i * B,)), wv
+
+    h0 = jnp.zeros((mpad,), w.dtype)
+    return jax.lax.fori_loop(0, nblk, blk, (h0, w))
+
+
+def _rows_combine(M, y, rows):
+    """x-update helper: M[:rows].T @ y reading only the used row blocks."""
+    B = _ROW_BLOCK
+    n = M.shape[1]
+    nblk = (rows + B - 1) // B
+
+    def blk(i, acc):
+        Mb = jax.lax.dynamic_slice(M, (i * B, 0), (B, n))
+        yb = jax.lax.dynamic_slice(y, (i * B,), (B,))
+        return acc + yb @ Mb
+
+    return jax.lax.fori_loop(0, nblk, blk, jnp.zeros(n, M.dtype))
+
+
 def gmres(matvec: Callable, b, x0, pc: Callable, restart: int = 30,
           maxiter: int = 30, rtol: float = 1e-1, allreduce: Callable = None,
-          axis_name: str = None):
+          axis_name: str = None, blocked: bool = None):
     """Right-preconditioned restarted GMRES on (NC,V)-shaped vectors.
 
     Matches the reference's default Krylov settings (FGMRES(30), rtol 1e-1,
@@ -268,11 +318,23 @@ def gmres(matvec: Callable, b, x0, pc: Callable, restart: int = 30,
     `allreduce` (e.g. partial(jax.lax.psum, axis_name=...)) is applied to
     every inner-product partial sum, making the same code run distributed
     under shard_map with each rank holding its slab of the vectors.
+
+    `blocked` (None = auto by problem size): the large-n basis path —
+    blocked-MGS orthogonalization reading only the filled basis rows, ONE
+    pass with a selective second pass (run only when the norm drops below
+    0.7x, the classic Rutishauser/Kahan criterion, via lax.cond), and NO
+    stored Z: every preconditioner in this module is a fixed linear
+    operator per Newton step, so x = x0 + M^-1 (V y) needs one trailing pc
+    apply instead of an (m, n) direction store. Cuts the dominant
+    per-iteration basis traffic ~4x and halves Krylov memory; the classic
+    path stays bit-identical for small cases and distributed runs.
     """
     shape = b.shape
     dtype = b.dtype
     n = b.size
     bf = b.reshape(n)
+    if blocked is None:
+        blocked = n >= _BLOCKED_N_THRESHOLD and axis_name is None
     if axis_name is not None and allreduce is None:
         allreduce = lambda x: jax.lax.psum(x, axis_name)
     ar = allreduce if allreduce is not None else (lambda x: x)
@@ -359,18 +421,94 @@ def gmres(matvec: Callable, b, x0, pc: Callable, restart: int = 30,
         x = x + Z.T @ y
         return x, total_iters + j, res
 
+    mpad = -(-(m + 1) // _ROW_BLOCK) * _ROW_BLOCK
+
+    def cycle_blocked(x, total_iters):
+        # large-n cycle: same Arnoldi/Givens algebra as `cycle`, with
+        # (a) blocked-MGS reading only the filled basis rows, (b) a
+        # SELECTIVE second orthogonalization pass (skipped at runtime
+        # unless the projection removed >30% of w's norm), and (c) no Z
+        # store — the pc is applied once to the combined direction V y
+        # (legal for the fixed linear preconditioners this module builds)
+        r = bf - mv(x)
+        beta = jnp.sqrt(ar(jnp.sum(r * r)))
+
+        V = jnp.zeros((mpad, n), dtype)
+        H = jnp.zeros((m + 1, m), dtype)
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
+
+        def cond(carry):
+            V, H, cs, sn, g, j, res = carry
+            return (j < m) & (res > tol)
+
+        def body(carry):
+            V, H, cs, sn, g, j, _ = carry
+            w = mv(pcf(V[j]))
+
+            wn0 = jnp.sqrt(ar(jnp.sum(w * w)))
+            h, w = _mgs_pass(V, w, j + 1, ar)
+            wn1 = jnp.sqrt(ar(jnp.sum(w * w)))
+            h2, w = jax.lax.cond(
+                wn1 < 0.7 * wn0,
+                lambda wv: _mgs_pass(V, wv, j + 1, ar),
+                lambda wv: (jnp.zeros((mpad,), dtype), wv),
+                w)
+            h = h + h2
+            hn = jnp.sqrt(ar(jnp.sum(w * w)))
+            V = V.at[j + 1].set(w / jnp.maximum(hn, 1e-300))
+            hcol = h[:m + 1].at[j + 1].set(hn)
+
+            def rot(i, hc):
+                t1 = cs[i] * hc[i] + sn[i] * hc[i + 1]
+                t2 = -sn[i] * hc[i] + cs[i] * hc[i + 1]
+                return hc.at[i].set(t1).at[i + 1].set(t2)
+            hcol = jax.lax.fori_loop(0, j, rot, hcol)
+
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            c_new = hcol[j] / jnp.maximum(denom, 1e-300)
+            s_new = hcol[j + 1] / jnp.maximum(denom, 1e-300)
+            hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            g_new = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
+
+            H = H.at[:, j].set(hcol)
+            res = jnp.abs(g_new[j + 1])
+            return (V, H, cs, sn, g_new, j + 1, res)
+
+        carry = (V, H, cs, sn, g, jnp.array(0), beta)
+        V, H, cs, sn, g, j, res = jax.lax.while_loop(cond, body, carry)
+
+        used = jnp.arange(m) < j
+        R = H[:m, :m] * used[None, :] * used[:, None]
+        R = R + jnp.diag(jnp.where(used, 0.0, 1.0))
+        rhs_t = jnp.where(used, g[:m], 0.0)
+
+        def back(i, y):
+            k = m - 1 - i
+            yk = (rhs_t[k] - jnp.dot(R[k], y)) / R[k, k]
+            return y.at[k].set(yk)
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype))
+        ypad = jnp.zeros(mpad, dtype).at[:m].set(y)
+        x = x + pcf(_rows_combine(V, ypad, j))
+        return x, total_iters + j, res
+
+    run_cycle = cycle_blocked if blocked else cycle
     x = x0.reshape(n)
     iters = jnp.array(0)
     res = jnp.array(jnp.inf, dtype)
     for c in range(ncycles):
         if c == 0:
-            x, iters, res = cycle(x, iters)
+            x, iters, res = run_cycle(x, iters)
         else:
             # early exit: converged restarts skip the whole cycle (incl.
             # its residual-recompute matvec) at runtime via lax.cond
             x, iters, res = jax.lax.cond(
                 res > tol,
-                lambda carry: cycle(carry[0], carry[1]),
+                lambda carry: run_cycle(carry[0], carry[1]),
                 lambda carry: carry,
                 (x, iters, res))
     return x.reshape(shape), iters, res / jnp.maximum(bnorm, 1e-300)

@@ -200,6 +200,13 @@ class SteadyBackwardEuler:
     nl: NonlinearUpdateConfig = NonlinearUpdateConfig()
     checkpoint_path: Optional[str] = None     # save/resume state here
     checkpoint_every: int = 50
+    # device-side functional logging (output.make_functionals): every
+    # `functional_every` steps the jitted evaluator runs ON DEVICE and its
+    # scalars join the step's single fused fetch — no host pull of the
+    # state/gradients per evaluation (the reference recomputes surface
+    # functionals host-side only at the end, aoutput.cpp:150-299)
+    functional_fn: Optional[object] = None
+    functional_every: int = 0
 
     log_label = "BE"      # class attr (not a field): logger prefix
 
@@ -792,6 +799,14 @@ class SteadyBackwardEuler:
                         logger.log(step + k + 1,
                                    float(res_h[k]) / initres,
                                    float(res_h[k]), cfl=float(cfl_h[k]))
+                if (logger and n_ch > 0 and self.functional_fn is not None
+                        and self.functional_every):
+                    # burst-granular functional record (one device eval +
+                    # fetch per burst, not per step; pipelining intact)
+                    fv = jax.device_get(self.functional_fn(mesh, u))
+                    logger.log(step + n_ch, res / initres, res, cfl=cfl,
+                               **dict(zip(("entropy", "CL", "CDp", "CDsf"),
+                                          (float(x) for x in fv))))
                 step += n_ch
                 if (self.checkpoint_path and self.checkpoint_every
                         and flag in (0, 1)):
@@ -879,11 +894,22 @@ class SteadyBackwardEuler:
                                           lmesh=lmesh, mg=mg, ilu=ilu,
                                           bl=bl)
             resold = res
+            # device functional evaluation joins the step's fused fetch
+            fnl_j = None
+            if (self.functional_fn is not None and self.functional_every
+                    and (step + 1) % self.functional_every == 0):
+                fnl_j = self.functional_fn(mesh, u)
             tf = time.perf_counter()
             info.t_dispatch += tf - td
             # ONE fused device fetch (a tuple get is a single ~24 ms tunnel
             # round trip on the remote TPU; two separate gets cost two)
-            res_v, iters_v = jax.device_get((resj, itersj))
+            if fnl_j is not None:
+                res_v, iters_v, fnl_v = jax.device_get((resj, itersj, fnl_j))
+                fnl_log = dict(zip(("entropy", "CL", "CDp", "CDsf"),
+                                   (float(x) for x in fnl_v)))
+            else:
+                res_v, iters_v = jax.device_get((resj, itersj))
+                fnl_log = {}
             res = float(res_v)
             info.total_lin_iters += int(iters_v)
             tz = time.perf_counter()
@@ -962,7 +988,7 @@ class SteadyBackwardEuler:
             info.history.append((step, res / initres, res, cfl))
             if logger:
                 logger.log(step, res / initres, res,
-                           lin_iters=int(iters_v), cfl=cfl)
+                           lin_iters=int(iters_v), cfl=cfl, **fnl_log)
             if (self.checkpoint_path and self.checkpoint_every
                     and step % self.checkpoint_every == 0):
                 from ..io_config.checkpoint import save_checkpoint

@@ -54,27 +54,27 @@ MAGIC = 0x314A5646  # "FVJ1"
 
 
 def to_bsr(mesh, jac, n):
-    """Slot-block Jacobian -> standard BSR (indptr, indices, data)."""
+    """Slot-block Jacobian -> standard BSR (indptr, indices, data).
+
+    Vectorized (the per-cell Python loop took minutes at 819.2k cells):
+    flatten the (self + valid neighbour) slots to COO, then lexsort by
+    (row, col) to get sorted-per-row BSR."""
     nbrs = np.asarray(mesh.cell_nbrs)[:n]
-    nmask = np.asarray(mesh.nbr_mask)[:n] > 0
+    nmask = (np.asarray(mesh.nbr_mask)[:n] > 0) & (nbrs < n)
     D = np.asarray(jac.D)[:n]
     Nb = np.asarray(jac.N)[:n]
-    indptr = np.zeros(n + 1, np.int32)
-    cols_list = []
-    data_list = []
-    for c in range(n):
-        cols = [c]
-        blks = [D[c]]
-        for k in range(nbrs.shape[1]):
-            nb = int(nbrs[c, k])
-            if nmask[c, k] and nb < n:
-                cols.append(nb)
-                blks.append(Nb[c, k])
-        order = np.argsort(cols)
-        cols_list.append(np.asarray(cols, np.int32)[order])
-        data_list.append(np.asarray(blks)[order])
-        indptr[c + 1] = indptr[c] + len(cols)
-    return indptr, np.concatenate(cols_list), np.concatenate(data_list)
+    S = nbrs.shape[1]
+    rows_n, slots_n = np.nonzero(nmask)
+    rows = np.concatenate([np.arange(n, dtype=np.int64), rows_n])
+    cols = np.concatenate([np.arange(n, dtype=np.int64),
+                           nbrs[rows_n, slots_n].astype(np.int64)])
+    blks = np.concatenate([D, Nb[rows_n, slots_n]], axis=0)
+    order = np.lexsort((cols, rows))
+    rows, cols, blks = rows[order], cols[order], blks[order]
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    indptr = np.cumsum(indptr)
+    return indptr.astype(np.int32), cols.astype(np.int32), blks
 
 
 def write_fvj(path, indptr, indices, data, rhs):
@@ -90,6 +90,10 @@ def write_fvj(path, indptr, indices, data, rhs):
 
 def export_naca(outdir, snap_steps=(5, 40, 75)):
     import jax
+    # the axon plugin ignores JAX_PLATFORMS: force CPU via jax.config (the
+    # tests/conftest.py rule) — the 819.2k f64 assembly OOMs the TPU's
+    # padded jacfwd seeds and the export is platform-independent data anyway
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from fvens_tpu.config import (BCSpec, FlowCaseConfig, LinearSolverConfig,
@@ -159,6 +163,7 @@ def export_naca(outdir, snap_steps=(5, 40, 75)):
 
 def export_bigmesh(outdir, ni=640, nj=320):
     import jax
+    jax.config.update("jax_platforms", "cpu")   # see export_naca
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from fvens_tpu.config import (BCSpec, FlowCaseConfig, NumericsConfig,
@@ -195,7 +200,7 @@ def export_bigmesh(outdir, ni=640, nj=320):
     write_fvj(os.path.join(outdir, name), indptr, indices, data,
               np.asarray(rhs)[:n])
     print(f"  wrote {name}: nnzb {indices.shape[0]}")
-    return [{"file": name, "case": "inv-cylinder-bigmesh", "cells": n,
+    return [{"file": name, "case": f"inv-cylinder-{ni}x{nj}", "cells": n,
              "nnzb": int(indices.shape[0]), "step": 1, "cfl": 500.0}]
 
 
@@ -205,6 +210,9 @@ def main() -> int:
     ap.add_argument("--bigmesh", action="store_true",
                     help="also export the 204.8k-cell cylinder Jacobian")
     ap.add_argument("--bigmesh-only", action="store_true")
+    ap.add_argument("--sizes", nargs="*", default=["640x320"],
+                    help="cylinder O-mesh sizes for --bigmesh "
+                         "(e.g. 640x320 1280x640)")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -214,8 +222,10 @@ def main() -> int:
         print("exporting visc-naca0012 snapshots (CPU f64 steps)...")
         metas += export_naca(args.outdir)
     if args.bigmesh or args.bigmesh_only:
-        print("exporting 204.8k-cell cylinder Jacobian...")
-        metas += export_bigmesh(args.outdir)
+        for size in args.sizes:
+            ni, nj = (int(x) for x in size.split("x"))
+            print(f"exporting {ni * nj / 1000:.1f}k-cell cylinder Jacobian...")
+            metas += export_bigmesh(args.outdir, ni, nj)
 
     try:
         rev = subprocess.run(["git", "-C", _ROOT, "rev-parse", "HEAD"],
@@ -223,6 +233,17 @@ def main() -> int:
                              check=True).stdout.strip()
     except Exception:
         rev = "unknown"
+    # merge with an existing manifest (partial re-exports keep prior
+    # entries whose files still exist and weren't re-exported)
+    mpath0 = os.path.join(args.outdir, "manifest.json")
+    if os.path.exists(mpath0):
+        with open(mpath0) as f:
+            old = json.load(f).get("matrices", [])
+        new_files = {m["file"] for m in metas}
+        metas = [m for m in old
+                 if m["file"] not in new_files
+                 and os.path.exists(os.path.join(args.outdir, m["file"]))
+                 ] + metas
     manifest = {"git_rev": rev,
                 "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
                 "matrices": metas}

@@ -33,6 +33,9 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--restart", type=int, default=90)
     ap.add_argument("--sweeps", type=int, default=6)
+    ap.add_argument("--classic", action="store_true",
+                    help="force the classic CGS2 gmres basis path "
+                         "(blocked=False) for before/after A-B records")
     args = ap.parse_args()
 
     import jax
@@ -80,6 +83,14 @@ def main() -> int:
         Dinv = jax.jit(block_jacobi_inverse)(jac.D)
         DNbt = jax.jit(banded_dn_blocks)(bl, Dinv, jac.N)
         offsets = bl.offsets
+        # free dead device buffers before the big allocations: the slot
+        # Jacobian N (210 MB at 819k) is superseded by Bt/DNbt, and the f64
+        # mesh/state used only for assembly (HBM headroom at 819.2k cells)
+        D = jac.D
+        del jac
+        u0 = u32 = None
+        jax.block_until_ready((Bt, DNbt))
+        print(f"# {size}: setup done, {len(offsets)} bands", flush=True)
 
         @jax.jit
         def run_mv(x, D, B):
@@ -93,14 +104,16 @@ def main() -> int:
 
         out = {"size": size, "cells": mesh.n_cells, "reps": args.reps,
                "restart": args.restart, "sweeps": args.sweeps,
+               "gmres_path": "classic" if args.classic else "auto",
                "platform": jax.devices()[0].platform}
-        for name, run, ops in (("matvec", run_mv, (jac.D, Bt)),
+        for name, run, ops in (("matvec", run_mv, (D, Bt)),
                                ("pc", run_pc, (Dinv, DNbt))):
             jax.block_until_ready(run(rhs, *ops))          # compile
             t0 = time.perf_counter()
             jax.block_until_ready(run(rhs, *ops))
             out[f"{name}_ms_per_apply"] = (
                 (time.perf_counter() - t0) / args.reps * 1e3)
+            print(f"# {size}: {name} done", flush=True)
 
         @jax.jit
         def one_solve(b, D, B, Di, DN):
@@ -108,10 +121,11 @@ def main() -> int:
             pc = make_banded_bsgs(Di, DN, offsets, args.sweeps)
             x, iters, relres = gmres(mv, b, jnp.zeros_like(b), pc,
                                      restart=args.restart,
-                                     maxiter=args.restart, rtol=1e-30)
+                                     maxiter=args.restart, rtol=1e-30,
+                                     blocked=False if args.classic else None)
             return x, iters, relres
 
-        ops = (jac.D, Bt, Dinv, DNbt)
+        ops = (D, Bt, Dinv, DNbt)
         jax.block_until_ready(one_solve(rhs, *ops))      # compile
         t0 = time.perf_counter()
         x, iters, relres = one_solve(rhs, *ops)

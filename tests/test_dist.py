@@ -533,3 +533,23 @@ def test_partition_restriction_matches_reference_goldens():
                 if part[s] == p and part[o] != p:
                     got.add((l_of[int(s)], int(part[o]), int(o)))
         assert got == want
+
+
+def test_halo_schedule_stats_consistency():
+    """Comm-volume accounting (halo_schedule_stats): the edge-coloured
+    ppermute schedule must deliver every halo cell exactly once per
+    exchange, and the reported volume must be consistent with the
+    partition's edge cut (each ghost cell is adjacent to >=1 cut face, so
+    halo_cells <= 2 * cut_faces and cut_faces > 0 on any real split)."""
+    from fvens_tpu.dist import halo_schedule_stats
+
+    md = cylinder_omesh(32, 12)
+    bundle = partition_mesh(md, BCS, 4)
+    hs = halo_schedule_stats(bundle)   # asserts sends == halo internally
+
+    assert hs["halo_cells"] > 0
+    assert hs["cut_faces"] > 0
+    assert hs["halo_cells"] <= 2 * hs["cut_faces"]
+    assert hs["rounds"] >= 1
+    assert hs["messages_per_exchange"] >= 4     # >= one send per device
+    assert hs["bytes_per_exchange"] == hs["halo_cells"] * 4 * 4  # f32 x 4
