@@ -222,6 +222,14 @@ class LinearSolverConfig:
     #                                    to rounding; silently falls back to
     #                                    the gather path on meshes that are
     #                                    not band-coverable
+    pallas: bool = True                # with banded=True on TPU: run the
+    #                                    banded matvec / bsgs sweeps as
+    #                                    Pallas kernels streaming the band
+    #                                    blocks at HBM speed
+    #                                    (solver/pallas_banded.py). Auto
+    #                                    falls back to the XLA banded path
+    #                                    off-TPU, at f64, or on partitioned
+    #                                    meshes (rest lists)
     matrix_free: bool = False
     matrix_free_fd: bool = False       # matrix-free matvec via the
     #                                    reference's eps/||x|| finite

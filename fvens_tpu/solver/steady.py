@@ -270,6 +270,17 @@ class SteadyBackwardEuler:
             self._banded_cache = (key, banded_structure(mesh))
         return self._banded_cache[1]
 
+    def _pallas_on(self, bl, NC, dtype):
+        """Use the Pallas banded kernels (solver/pallas_banded.py) when the
+        config allows it, the backend is a real TPU, and the structure is
+        the single-chip fully-band-covered f32 case they support."""
+        if not getattr(self.lin, "pallas", True):
+            return False
+        if jax.devices()[0].platform != "tpu":
+            return False
+        from .pallas_banded import pallas_supported
+        return pallas_supported(bl, NC, dtype)
+
     def _ilu(self, mesh):
         """Host-side ILU0 sparsity analysis, cached per mesh (pc='ilu0'
         only). A static-int pytree passed to _step as a jit ARGUMENT, so
@@ -346,8 +357,14 @@ class SteadyBackwardEuler:
                                  rest_dn_blocks)
             from .linear import block_jacobi_inverse
             Dinv_b = block_jacobi_inverse(jac.D)
+            pallas_on = self._pallas_on(bl, jac.D.shape[0], jac.D.dtype)
             if self.lin.pc == "bjacobi":
                 pc = lambda v: jnp.einsum("cij,cj->ci", Dinv_b, v)
+            elif pallas_on:
+                from .pallas_banded import make_banded_bsgs_pallas
+                pc = make_banded_bsgs_pallas(
+                    Dinv_b, banded_dn_blocks(bl, Dinv_b, jac.N),
+                    bl.offsets, self.lin.pc_sweeps)
             else:
                 pc = make_banded_bsgs(
                     Dinv_b, banded_dn_blocks(bl, Dinv_b, jac.N),
@@ -395,9 +412,14 @@ class SteadyBackwardEuler:
         elif banded_on:
             from .banded import (banded_blocks, make_banded_matvec,
                                  rest_blocks)
-            matvec = make_banded_matvec(jac.D, banded_blocks(bl, jac.N),
-                                        bl.offsets, bl=bl,
-                                        R=rest_blocks(bl, jac.N))
+            if self._pallas_on(bl, jac.D.shape[0], jac.D.dtype):
+                from .pallas_banded import make_banded_matvec_pallas
+                matvec = make_banded_matvec_pallas(
+                    jac.D, banded_blocks(bl, jac.N), bl.offsets)
+            else:
+                matvec = make_banded_matvec(jac.D, banded_blocks(bl, jac.N),
+                                            bl.offsets, bl=bl,
+                                            R=rest_blocks(bl, jac.N))
         else:
             matvec = make_bsr_matvec(lmesh, jac)   # fused operand built once
 
