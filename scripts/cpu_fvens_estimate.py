@@ -113,9 +113,10 @@ def main() -> int:
     ap.add_argument("--jacdir", default="/tmp/fvens_jac")
     ap.add_argument("--steps", type=int, default=79,
                     help="pseudo-time steps of the measured 13k TPU solve")
-    ap.add_argument("--bigmesh-steps", type=int, default=35,
-                    help="steps of the measured 204.8k solve "
-                         "(BENCH_BIGMESH.json)")
+    ap.add_argument("--bigmesh-steps", type=int, nargs="*", default=[35],
+                    help="steps of the measured bigmesh solves, one per "
+                         "exported size in manifest order "
+                         "(BENCH_BIGMESH.json; e.g. --bigmesh-steps 35 120)")
     ap.add_argument("--repeats", type=int, default=20)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -163,9 +164,19 @@ def main() -> int:
         rec["t_fvens_socket_s"] = avg["t_socket_s"]
         rec["t_fvens_1core_s"] = avg["t_1core_s"]
     if big:
-        m, meas = big[0]
-        rec["bigmesh"] = estimate(meas, m["cells"], args.bigmesh_steps,
-                                  core_gflops)
+        # one record per exported size (204.8k, 819.2k, ...), each scaled
+        # by its own measured TPU-solve step count at the same stopping
+        # rule (BENCH_BIGMESH.json) — the sizes where the 10x bar is
+        # physically winnable (VERDICT r4 next #2)
+        steps_list = list(args.bigmesh_steps)
+        steps_list += [steps_list[-1]] * (len(big) - len(steps_list))
+        recs = []
+        for (m, meas), st in zip(big, steps_list):
+            e = estimate(meas, m["cells"], st, core_gflops)
+            e["case"] = m["case"]
+            recs.append(e)
+        rec["bigmesh"] = recs[0] if len(recs) == 1 else recs
+        rec["bigmesh_all"] = recs
 
     try:
         rec["git_rev"] = subprocess.run(
