@@ -265,6 +265,21 @@ _BLOCKED_N_THRESHOLD = 262_144
 _ROW_BLOCK = 8           # f32 sublane tile height
 
 
+def _basis_row_set(V, w, j):
+    """V.at[j].set(w) for the blocked-path Krylov basis.
+
+    On TPU with a lane-divisible n this goes through the aliased Pallas
+    row write (solver/pallas_banded.py row_set): XLA's dynamic-update-
+    slice inside the while_loop re-materializes the whole (mpad, n) basis
+    at large n (the dominant share of the round-5 ortho cost,
+    PROBE_GMRES.json), while the aliased kernel touches only row j."""
+    n = V.shape[1]
+    if jax.devices()[0].platform == "tpu" and n % 128 == 0:
+        from .pallas_banded import row_set
+        return row_set(V, w, j)
+    return V.at[j].set(w)
+
+
 def _mgs_pass(V, w, rows, ar):
     """One blocked modified-Gram-Schmidt pass of w against V[:rows].
 
@@ -458,7 +473,7 @@ def gmres(matvec: Callable, b, x0, pc: Callable, restart: int = 30,
                 w)
             h = h + h2
             hn = jnp.sqrt(ar(jnp.sum(w * w)))
-            V = V.at[j + 1].set(w / jnp.maximum(hn, 1e-300))
+            V = _basis_row_set(V, w / jnp.maximum(hn, 1e-300), j + 1)
             hcol = h[:m + 1].at[j + 1].set(hn)
 
             def rot(i, hc):

@@ -215,3 +215,52 @@ def make_banded_bsgs_pallas(Dinv, DNbt, offsets, sweeps: int,
                               dms=dms, sign=-1.0, interpret=interpret)
         return z.T
     return pc
+
+
+# ---------------------------------------------------------------------------
+# GMRES basis row append (shared by solver/linear.py's blocked path)
+# ---------------------------------------------------------------------------
+
+def _row_set_kernel(j_ref, w_ref, v_ref, o_ref):
+    """Write w (scaled upstream) into row j of the basis, in place.
+
+    The basis enters aliased to the output (input_output_aliases) in ANY
+    memory space and is never read: the output BlockSpec maps every grid
+    program onto row j's column tile (via the prefetched scalar), so
+    appending a Krylov vector costs ONE row write — not the full
+    (mpad, n) re-materialization XLA's dynamic-update-slice inserts
+    inside the while_loop at large n (PROBE_GMRES round 5: the basis
+    share was 9.9 of 15.2 ms/iter at 819.2k cells)."""
+    del j_ref, v_ref  # j consumed by the index maps; v is aliased storage
+    o_ref[0, :] = w_ref[0, :]
+
+
+def row_set(V_basis, w, j, interpret=False):
+    """V_basis.at[j].set(w) without copying V_basis (aliased in place).
+
+    V_basis (mpad, n), w (n,), j traced int32. n must be lane-divisible
+    (callers pad); rows other than j keep their aliased-input values."""
+    mpad, n = V_basis.shape
+    T = _pick_tile(n, 0) or _LANE
+    if n % T:
+        raise ValueError(f"row_set needs n % {T} == 0, got {n}")
+    jj = jnp.asarray(j, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // T,),
+        in_specs=[
+            # index-map signature under scalar prefetch: (grid..., scalars)
+            pl.BlockSpec((1, T), lambda i, jr: (jnp.int32(0), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, T), lambda i, jr: (jr[0], i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _row_set_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mpad, n), V_basis.dtype),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(jj, w.reshape(1, n), V_basis)

@@ -80,3 +80,19 @@ def test_wrap_pad_matches_roll_semantics():
         win = xp[:, PP + d:PP + d + 1024]
         np.testing.assert_array_equal(np.asarray(win),
                                       np.asarray(jnp.roll(x, -d, axis=1)))
+
+
+def test_row_set_matches_at_set():
+    mpad, n = 96, 4096
+    key = jax.random.PRNGKey(3)
+    Vb = jax.random.normal(key, (mpad, n), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(4), (n,), jnp.float32)
+    for j in (0, 5, mpad - 1):
+        out = pb.row_set(Vb, w, j, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(Vb.at[j].set(w)))
+    # traced row index under jit (the solver's usage inside while_loop)
+    f = jax.jit(lambda V, w, j: pb.row_set(V, w, j, interpret=True))
+    out = f(Vb, w, jnp.int32(7))
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(Vb.at[7].set(w)))
