@@ -273,8 +273,10 @@ def _basis_row_set(V, w, j):
     slice inside the while_loop re-materializes the whole (mpad, n) basis
     at large n (the dominant share of the round-5 ortho cost,
     PROBE_GMRES.json), while the aliased kernel touches only row j."""
+    import os
     n = V.shape[1]
-    if jax.devices()[0].platform == "tpu" and n % 128 == 0:
+    if (jax.devices()[0].platform == "tpu" and n % 128 == 0
+            and not os.environ.get("FVENS_NO_ROWSET")):
         from .pallas_banded import row_set
         return row_set(V, w, j)
     return V.at[j].set(w)

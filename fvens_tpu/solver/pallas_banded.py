@@ -221,44 +221,64 @@ def make_banded_bsgs_pallas(Dinv, DNbt, offsets, sweeps: int,
 # GMRES basis row append (shared by solver/linear.py's blocked path)
 # ---------------------------------------------------------------------------
 
-def _row_set_kernel(j_ref, w_ref, v_ref, o_ref):
-    """Write w (scaled upstream) into row j of the basis, in place.
+_PANEL = 8                 # f32 sublane tile height == RMW panel rows
+
+
+def _row_set_kernel(j_ref, w_ref, v_ref, o_ref, panel_ref, sem_in, sem_out,
+                    *, T):
+    """Write w into row j of the basis, touching only row j's 8-row panel.
 
     The basis enters aliased to the output (input_output_aliases) in ANY
-    memory space and is never read: the output BlockSpec maps every grid
-    program onto row j's column tile (via the prefetched scalar), so
-    appending a Krylov vector costs ONE row write — not the full
-    (mpad, n) re-materialization XLA's dynamic-update-slice inserts
-    inside the while_loop at large n (PROBE_GMRES round 5: the basis
-    share was 9.9 of 15.2 ms/iter at 819.2k cells)."""
-    del j_ref, v_ref  # j consumed by the index maps; v is aliased storage
-    o_ref[0, :] = w_ref[0, :]
+    memory space; appending a Krylov vector costs one 8-row panel
+    read-modify-write per column tile — not the full (mpad, n)
+    re-materialization XLA's dynamic-update-slice inserts inside the
+    while_loop at large n (PROBE_GMRES round 5: the basis share was 9.9
+    of 15.2 ms/iter at 819.2k cells). The panel granularity is forced by
+    the tiled HBM layout: DMA slices must be 8-aligned in sublanes and
+    128-aligned in lanes, so a bare (1, n) row slice is rejected."""
+    del v_ref                      # aliased storage: only the panel changes
+    i = pl.program_id(0)
+    j = j_ref[0]
+    p0 = pl.multiple_of((j // _PANEL) * _PANEL, _PANEL)
+    dma_in = pltpu.make_async_copy(
+        o_ref.at[pl.ds(p0, _PANEL), pl.ds(i * T, T)], panel_ref, sem_in)
+    dma_in.start()
+    dma_in.wait()
+    panel_ref[j % _PANEL, :] = w_ref[0, :]
+    dma_out = pltpu.make_async_copy(
+        panel_ref, o_ref.at[pl.ds(p0, _PANEL), pl.ds(i * T, T)], sem_out)
+    dma_out.start()
+    dma_out.wait()
 
 
 def row_set(V_basis, w, j, interpret=False):
     """V_basis.at[j].set(w) without copying V_basis (aliased in place).
 
-    V_basis (mpad, n), w (n,), j traced int32. n must be lane-divisible
-    (callers pad); rows other than j keep their aliased-input values."""
+    V_basis (mpad, n) with mpad % 8 == 0, w (n,), j traced int32. n must
+    be lane-divisible (callers guarantee); rows outside row j's 8-row
+    panel keep their aliased values bit-exactly, panel-mates are
+    rewritten with the values just read."""
     mpad, n = V_basis.shape
-    T = _pick_tile(n, 0) or _LANE
-    if n % T:
-        raise ValueError(f"row_set needs n % {T} == 0, got {n}")
+    T = _pick_tile(n, 0)
+    if T is None or mpad % _PANEL:
+        raise ValueError(f"row_set needs a lane tile for n={n} "
+                         f"and mpad % {_PANEL} == 0 (got {mpad})")
     jj = jnp.asarray(j, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // T,),
         in_specs=[
-            # index-map signature under scalar prefetch: (grid..., scalars)
             pl.BlockSpec((1, T), lambda i, jr: (jnp.int32(0), i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, T), lambda i, jr: (jr[0], i),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((_PANEL, T), V_basis.dtype),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
     )
     return pl.pallas_call(
-        _row_set_kernel,
+        functools.partial(_row_set_kernel, T=T),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mpad, n), V_basis.dtype),
         input_output_aliases={2: 0},

@@ -66,10 +66,18 @@ def main() -> int:
             def wrapped(c):
                 V, w, j = c
                 V, w = body(V, w, j)
+                # force a genuine per-iteration data dependency on the
+                # updated basis: without this read XLA elided the whole
+                # append chain (first runs timed 0.002 ms/iter — a
+                # physically impossible number at (96, 3.28M))
+                w = w + 1e-30 * V[(j * 7 + 3) % mpad]
                 return (V, w, j + 1)
 
             V, w, j = jax.lax.while_loop(cond, wrapped, (V, w, 0))
-            return V[args.iters % mpad].sum() + w.sum()
+            # consume ALL of V: returning a single row lets XLA dead-code
+            # eliminate every other row's append (measured: the loop
+            # collapsed to one write and timed 0.003 ms/iter)
+            return V.sum() + w.sum()
         return jax.jit(f)
 
     def body_append(V, w, j):
@@ -112,9 +120,9 @@ def main() -> int:
         jax.block_until_ready(f(w0))            # compile
         t0 = time.perf_counter()
         jax.block_until_ready(f(w0))
-        out[f"{name}_ms_per_iter"] = ((time.perf_counter() - t0)
-                                      / args.iters * 1e3)
-        print(f"# {name} done", flush=True)
+        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        out[f"{name}_ms_per_iter"] = ms
+        print(f"# {name}: {ms:.4f} ms/iter", flush=True)
     import jax as _j
     out["platform"] = _j.devices()[0].platform
     print(json.dumps(out), flush=True)
